@@ -1,0 +1,19 @@
+"""ratatosk_tpu — TPU-native hybrid long-read error correction.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of
+DecodeGenetics/Ratatosk (reference: /root/reference): a compacted, colored de
+Bruijn graph built from accurate short reads corrects noisy ONT long reads via
+anchored graph-path beam search scored by a banded edit-distance DP.
+
+See ARCHITECTURE.md for the layer map and design decisions.
+"""
+
+import jax
+
+# k-mers are packed into uint64 words (ops/kmers.py); TPU emulates u64 with
+# 32-bit pairs, which is fine for the bandwidth-bound k-mer path.
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from ratatosk_tpu.config import CorrectOpt  # noqa: E402,F401

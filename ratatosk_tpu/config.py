@@ -1,0 +1,83 @@
+"""Correction options — mirrors the reference's Correct_Opt defaults.
+
+Reference: src/Common.hpp:16-158 (struct Correct_Opt, defaults at 101-156).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+
+@dataclasses.dataclass
+class CorrectOpt:
+    """All tunables of the two-pass correction pipeline.
+
+    Field names and defaults follow the reference (Common.hpp:101-156) so a
+    reference user can map flags 1:1; TPU-specific knobs sit at the bottom.
+    """
+
+    # -- k-mer sizes (Common.hpp:101,117: k=63, small_k=31) --
+    k: int = 63          # pass-2 k-mer size (large k)
+    small_k: int = 31    # pass-1 k-mer size
+
+    # -- input/output --
+    filename_seq_in: List[str] = dataclasses.field(default_factory=list)   # short reads
+    filename_long_in: List[str] = dataclasses.field(default_factory=list)  # long reads to correct
+    filename_helper_long_in: List[str] = dataclasses.field(default_factory=list)  # -a helper LRs
+    filenames_long_raw: List[str] = dataclasses.field(default_factory=list)  # pass-2 raw LRs
+    prefix_filename_out: str = "ratatosk"
+    filename_graph_in: Optional[str] = None   # -g pre-built graph
+    filename_data_in: Optional[str] = None    # -d pre-built graph data
+
+    # -- quality (Common.hpp:113-115; README.md:75,113) --
+    max_qual: int = 40     # -Q: 40 for R9.4, 90 for R10
+    out_qual: int = 1      # output quality scores
+    trim_qual: int = 0     # -t: trim/split on min quality
+
+    # -- coverage / color caps (Common.hpp:118-128) --
+    min_cov_vertices: int = 2     # min shared reads for a supported edge
+    max_cov_vertices: int = 128   # color-set cap per unitig
+    max_km_cov: int = 128
+    top_km_cov_ratio: float = 0.001
+
+    # -- correction loop (Common.hpp:129-156) --
+    nb_correction_rounds: int = 1      # -r
+    max_len_weak_region1: int = 1000   # pass-1 weak region cap (bp)
+    max_len_weak_region2: int = 5000   # pass-2 weak region cap (bp)
+    min_len_2nd_pass: int = 3000       # min corrected-read length colored in pass 2
+    insert_sz: int = 500               # paired-end insert size
+    weak_region_len_factor: float = 0.25
+    large_k_factor: float = 1.5
+    min_color_sharing: float = 0.5
+    sampling_rate: float = 1.0
+    min_confidence_snp_corr: float = 0.9
+    min_confidence_2nd_pass: float = 0.0
+    min_nb_km_unmapped: int = 31       # -u missing-read rescue threshold
+
+    # -- execution --
+    nb_threads: int = 1
+    verbose: bool = False
+    force_io_order: bool = False   # -O
+    pass1_only: bool = False       # -1
+    pass2_only: bool = False       # -2
+    index_only: bool = False       # `index` subcommand
+
+    # -- TPU-specific knobs (no reference counterpart) --
+    beam_width: int = 16          # beam entries per weak region
+    max_beam_steps: int = 48      # max unitig extensions per region
+    batch_regions: int = 64       # weak regions scored per device batch
+    read_batch_bp: int = 1 << 20  # ~1MB of read data per host batch (Common.hpp:138)
+    min_count_kmer: int = 2       # k-mers need >=2 occurrences from reads (Bifrost contract)
+    device_index: bool = True     # keep the k-mer index device-resident
+
+    def validate(self) -> None:
+        if not (0 < self.small_k <= 32):
+            raise ValueError(f"small_k must be in (0,32], got {self.small_k}")
+        if not (0 < self.k <= 64):
+            raise ValueError(f"k must be in (0,64], got {self.k}")
+        if self.small_k >= self.k:
+            raise ValueError("small_k must be < k")
+        if self.max_qual not in (40, 90):
+            # reference accepts only these two scales (README.md:75,113)
+            raise ValueError("max_qual must be 40 (R9.4) or 90 (R10)")
