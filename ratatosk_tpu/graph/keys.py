@@ -75,7 +75,7 @@ class KeyArray:
             return KeyArray(self.k, lo, None)
         hi = ((self.hi << _U2) | (self.lo >> _U62)) & np.uint64((1 << (2 * self.k - 64)) - 1)
         lo = (self.lo << _U2) | c
-        return KeyArray(self.k, hi, lo)
+        return KeyArray(self.k, lo, hi)
 
     def last_base(self) -> np.ndarray:
         return (self.lo & _U3).astype(np.uint8)
