@@ -1,0 +1,396 @@
+"""Per-read correction engine: seeds -> regions -> device beam -> assembly.
+
+Host-side re-expression of the reference's `correctSequence`
+(Correction.cpp:159-958, SURVEY.md §3.3): solid anchors partition a read into
+solid spans (kept verbatim, max quality), same-unitig gaps (spliced straight
+from the unitig catalog — the fast path of Correction.cpp:814-858), and weak
+regions. Weak regions from ALL reads of a batch are bucketed by padded target
+length and corrected together on device (correct/beam.py); regions whose
+forward search fails retry backward on mirrored anchors (Correction.cpp:880),
+and still-failed regions keep their raw bases (consensus merge of partial
+fw/bw is a later round).
+
+Per-base quality follows getScorePath's string overload
+(GraphTraversal.cpp:722-772): CIGAR matches get getQual(best score), other
+positions get getQual(best * (1 - second/best)) — quality encodes the margin
+between the best and runner-up candidate path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ratatosk_tpu import dna
+from ratatosk_tpu.config import CorrectOpt
+from ratatosk_tpu.correct import beam as BM
+from ratatosk_tpu.correct.graphdev import DeviceGraph
+from ratatosk_tpu.correct.seeds import SolidRun, filter_runs_by_color, find_runs
+from ratatosk_tpu.graph.build import Cdbg
+from ratatosk_tpu.graph.colors import GraphColors
+from ratatosk_tpu.ops import cigar as CG
+from ratatosk_tpu.ops import colorset as CS
+
+BUCKETS = (64, 128, 256, 512, 1024)
+
+
+@dataclasses.dataclass
+class RegionSpec:
+    read_idx: int
+    kind: str            # 'gap' | 'head' | 'tail'
+    raw_a: int           # replaced raw span [raw_a, raw_b)
+    raw_b: int
+    tgt: np.ndarray      # raw target codes (head: already reverse-complemented)
+    start_tip: int
+    start_off: int
+    end_tip: int         # -1 = open
+    end_off: int
+    colors_row: np.ndarray
+    # anchors for the backward mirror (gap regions)
+    mirror: Optional[tuple] = None
+    # mirrored target = revcomp(raw[raw_a-k : raw_b-k]): the backward path
+    # emits from after the reversed right anchor through the left anchor k-mer
+    mirror_tgt: Optional[np.ndarray] = None
+    # filled by the runner:
+    ok: bool = False
+    seq: Optional[np.ndarray] = None      # corrected codes (read orientation)
+    qual: Optional[np.ndarray] = None     # per-base quality chars
+    covered: int = 0                      # target prefix covered (open regions)
+
+
+@dataclasses.dataclass
+class CorrectedRead:
+    codes: np.ndarray
+    qual: np.ndarray     # uint8 Phred33 chars
+    n_solid: int
+    n_regions: int
+    n_corrected: int
+
+    @property
+    def seq(self) -> str:
+        return dna.decode(self.codes)
+
+    @property
+    def qual_str(self) -> str:
+        return self.qual.tobytes().decode("ascii")
+
+
+class Corrector:
+    def __init__(self, cdbg: Cdbg, colors: GraphColors, opt: Optional[CorrectOpt] = None):
+        self.cdbg = cdbg
+        self.colors = colors
+        self.opt = opt or CorrectOpt()
+        self.g = DeviceGraph.from_host(cdbg, colors)
+        self.nk = cdbg.nkmers
+        self.qv_max = self.opt.max_qual
+
+    # ---------- helpers ----------
+
+    def _oriented_slice(self, uid: int, direction: int, a: int, b: int) -> np.ndarray:
+        """Oriented bases [a, b) of a unitig."""
+        o0, o1 = int(self.cdbg.uoff[uid]), int(self.cdbg.uoff[uid + 1])
+        if direction == 0:
+            return self.cdbg.useq[o0 + a:o0 + b].astype(np.uint8)
+        seg = self.cdbg.useq[o1 - b:o1 - a]
+        return (3 - seg)[::-1].astype(np.uint8)
+
+    def _region_colors(self, u1: int, u2: int = -1) -> np.ndarray:
+        r1 = self.colors.rows[u1]
+        if u2 < 0:
+            return r1
+        return CS.union_rows(r1[None], self.colors.rows[u2][None], np,
+                             self.colors.cap)[0]
+
+    def _qual_for(self, score: float) -> int:
+        return dna.get_qual_char(max(score, 0.0), qv_max=self.qv_max)
+
+    def _region_quality(self, seq: np.ndarray, tgt: np.ndarray,
+                        s1: float, s2: Optional[float]) -> np.ndarray:
+        """Per-base quality of a corrected region via CIGAR matches."""
+        q = np.full(len(seq), 0, dtype=np.uint8)
+        margin = 1.0 if (s2 is None or s1 <= 0) else max(1.0 - s2 / s1, 0.0)
+        q_match = self._qual_for(s1)
+        q_other = self._qual_for(s1 * margin)
+        if len(seq) == 0:
+            return q
+        if len(tgt) == 0:
+            q[:] = q_other
+            return q
+        _, cig, _, _ = CG.traceback(dna.codes_to_masks(seq), dna.codes_to_masks(tgt), CG.NW)
+        i = 0
+        for op, ln in cig:
+            if op in "=XI":
+                q[i:i + ln] = q_match if op == "=" else q_other
+                i += ln
+        q[i:] = q_other
+        return q
+
+    # ---------- planning ----------
+
+    def _plan_read(self, ridx: int, codes: np.ndarray, regions: List[RegionSpec]):
+        """Returns list of segments: ('raw'|'solid', a, b) or ('region', idx)
+        or ('splice', codes, qual)."""
+        k = self.cdbg.k
+        L = len(codes)
+        runs = filter_runs_by_color(find_runs(self.cdbg, codes), self.colors)
+        if not runs:
+            return [("raw", 0, L)]
+        segs: list = []
+        r0 = runs[0]
+        if r0.s > 0:
+            # head: correct the reversed prefix from the reversed first anchor
+            nk0 = int(self.nk[r0.uid])
+            d_h = r0.direction ^ 1
+            o_h = nk0 - 1 - r0.o_s
+            regions.append(RegionSpec(
+                read_idx=ridx, kind="head", raw_a=0, raw_b=r0.s,
+                tgt=dna.revcomp_codes(codes[:r0.s]),
+                start_tip=(r0.uid << 1) | d_h, start_off=o_h + k,
+                end_tip=-1, end_off=0,
+                colors_row=self._region_colors(r0.uid)))
+            segs.append(("region", len(regions) - 1))
+        for i, run in enumerate(runs):
+            a = run.s if i == 0 else run.s + k
+            segs.append(("solid", a, run.e + k))
+            if i + 1 >= len(runs):
+                continue
+            nxt = runs[i + 1]
+            raw_a, raw_b = run.e + k, nxt.s + k
+            raw_len = nxt.s - run.e
+            seg = self._plan_gap(ridx, codes, run, nxt, raw_a, raw_b, raw_len, regions)
+            segs.append(seg)
+        last = runs[-1]
+        if last.e + k < L:
+            regions.append(RegionSpec(
+                read_idx=ridx, kind="tail", raw_a=last.e + k, raw_b=L,
+                tgt=codes[last.e + k:].astype(np.uint8),
+                start_tip=(last.uid << 1) | last.direction,
+                start_off=last.o_e + k,
+                end_tip=-1, end_off=0,
+                colors_row=self._region_colors(last.uid)))
+            segs.append(("region", len(regions) - 1))
+        return segs
+
+    def _plan_gap(self, ridx, codes, run, nxt, raw_a, raw_b, raw_len, regions):
+        k = self.cdbg.k
+        f = self.opt.weak_region_len_factor
+        # same-unitig fast path (Correction.cpp:814-858)
+        if run.uid == nxt.uid and run.direction == nxt.direction:
+            glen = nxt.o_s - run.o_e
+            if glen > 0 and abs(glen - raw_len) <= max(f * raw_len, 0):
+                sp = self._oriented_slice(run.uid, run.direction,
+                                          run.o_e + k, nxt.o_s + k)
+                tgt = codes[raw_a:raw_b]
+                if len(sp) == len(tgt) and (sp == tgt).all():
+                    dist = 0
+                else:
+                    m = dna.codes_to_masks(sp)
+                    dist = int(CG.dp_matrix(m, dna.codes_to_masks(tgt), CG.NW)[-1, -1])
+                s1 = 1.0 - dist / max(len(tgt), 1)
+                qual = np.full(len(sp), self._qual_for(s1), dtype=np.uint8)
+                return ("splice", sp, qual)
+        if raw_len > self.opt.max_len_weak_region1 or raw_len <= 0:
+            return ("raw", raw_a, raw_b)
+        nk2 = int(self.nk[nxt.uid])
+        nk1 = int(self.nk[run.uid])
+        mirror = (
+            (nxt.uid << 1) | (nxt.direction ^ 1), (nk2 - 1 - nxt.o_s) + k,
+            (run.uid << 1) | (run.direction ^ 1), (nk1 - 1 - run.o_e) + k,
+        )
+        regions.append(RegionSpec(
+            read_idx=ridx, kind="gap", raw_a=raw_a, raw_b=raw_b,
+            tgt=codes[raw_a:raw_b].astype(np.uint8),
+            start_tip=(run.uid << 1) | run.direction, start_off=run.o_e + k,
+            end_tip=(nxt.uid << 1) | nxt.direction, end_off=nxt.o_s + k,
+            colors_row=self._region_colors(run.uid, nxt.uid),
+            mirror=mirror,
+            mirror_tgt=dna.revcomp_codes(codes[raw_a - k:raw_b - k])))
+        return ("region", len(regions) - 1)
+
+    # ---------- device execution ----------
+
+    def _run_bucket(self, specs: List[RegionSpec], nt: int, mirrored: bool):
+        R = len(specs)
+        Rp = max(8, 1 << int(np.ceil(np.log2(R))))
+        cc = self.colors.cap
+        tgt_masks = np.zeros((Rp, nt), dtype=np.uint8)
+        tgt_len = np.zeros(Rp, dtype=np.int32)
+        start_tip = np.zeros(Rp, dtype=np.int32)
+        start_off = np.zeros(Rp, dtype=np.int32)
+        end_tip = np.full(Rp, -1, dtype=np.int32)
+        end_off = np.zeros(Rp, dtype=np.int32)
+        colors = np.full((Rp, cc), CS.PAD, dtype=np.int32)
+        max_plen = np.ones(Rp, dtype=np.int32)
+        for i, sp in enumerate(specs):
+            if mirrored:
+                tgt = sp.mirror_tgt
+                stip, soff, etip, eoff = sp.mirror
+            else:
+                tgt, stip, soff = sp.tgt, sp.start_tip, sp.start_off
+                etip, eoff = sp.end_tip, sp.end_off
+            tgt_masks[i, :len(tgt)] = dna.codes_to_masks(tgt)
+            tgt_len[i] = len(tgt)
+            start_tip[i], start_off[i] = stip, soff
+            end_tip[i], end_off[i] = etip, eoff
+            colors[i] = sp.colors_row
+            f = self.opt.weak_region_len_factor
+            max_plen[i] = int(np.ceil((1.0 + f) * len(tgt))) + 4
+        lmax = int(np.ceil(1.25 * nt)) + 4
+        rb = BM.RegionBatch(
+            tgt_masks=jnp.asarray(tgt_masks), tgt_len=jnp.asarray(tgt_len),
+            start_tip=jnp.asarray(start_tip), start_off=jnp.asarray(start_off),
+            end_tip=jnp.asarray(end_tip), end_off=jnp.asarray(end_off),
+            colors=jnp.asarray(colors), max_plen=jnp.asarray(max_plen))
+        res = BM.beam_search(self.g, rb, beam=self.opt.beam_width, lmax=lmax,
+                             min_cov=self.opt.min_cov_vertices)
+        return {f: np.asarray(getattr(res, f))[:R] for f in res._fields}
+
+    def _execute_regions(self, regions: List[RegionSpec]):
+        k = self.cdbg.k
+        # forward pass, bucketed by target length
+        pending = [(i, False) for i in range(len(regions))]
+        while pending:
+            by_bucket: dict = {}
+            for i, mirrored in pending:
+                ln = len(regions[i].tgt)
+                nt = next((b for b in BUCKETS if ln <= b), None)
+                if nt is None:
+                    continue
+                by_bucket.setdefault(nt, []).append((i, mirrored))
+            retry = []
+            chunk = max(self.opt.batch_regions, 8)
+            for nt, items in by_bucket.items():
+                for c0 in range(0, len(items), chunk):
+                    part = items[c0:c0 + chunk]
+                    idxs = [i for i, _ in part]
+                    mirrored = part[0][1]
+                    res = self._run_bucket([regions[i] for i in idxs], nt, mirrored)
+                    for j, i in enumerate(idxs):
+                        sp = regions[i]
+                        ok = self._finish_region(sp, res, j, mirrored)
+                        if not ok and not mirrored and sp.kind == "gap" and sp.mirror:
+                            retry.append((i, True))
+            pending = retry
+
+    def _finish_region(self, sp: RegionSpec, res, j: int, mirrored: bool) -> bool:
+        k = self.cdbg.k
+        n = len(sp.tgt)
+        blen = int(res["best_len"][j])
+        seq = np.asarray(res["best_seq"][j][:blen], dtype=np.uint8)
+        d1 = int(res["best_dist"][j])
+        d2 = int(res["second_dist"][j])
+        s1 = 1.0 - d1 / max(n, 1)
+        s2 = None if d2 >= (1 << 20) else 1.0 - d2 / max(n, 1)
+        if sp.kind == "gap":
+            if not bool(res["completed"][j]) or blen == 0 or s1 < 0.0:
+                return False
+            if mirrored:
+                # mirrored path covers raw [raw_a-k, raw_b-k) reversed; drop its
+                # trailing left-anchor k-mer and re-append the right-anchor k-mer
+                fwd = dna.revcomp_codes(seq)
+                if len(fwd) < k:
+                    return False
+                body = fwd[k:]
+                anchor = sp.tgt[-k:]
+                sp.seq = np.concatenate([body, anchor])
+                q = self._region_quality(body, sp.tgt[:max(n - k, 0)], s1, s2)
+                sp.qual = np.concatenate(
+                    [q, np.full(k, self._qual_for(1.0), np.uint8)])
+            else:
+                sp.seq = seq
+                sp.qual = self._region_quality(seq, sp.tgt, s1, s2)
+            sp.ok = True
+            return True
+        # open regions (head/tail): SHW-trim the path overshoot — align the
+        # raw target into the path and cut where the target ends (the
+        # reference's trim, Correction.cpp:727-747)
+        if blen == 0:
+            return False
+        tdist, _, _, jend = CG.traceback(dna.codes_to_masks(sp.tgt),
+                                         dna.codes_to_masks(seq), CG.SHW)
+        if jend <= 0:
+            return False
+        seq = seq[:jend]
+        s1 = 1.0 - tdist / max(n, 1)
+        if s1 < 0.0:
+            return False
+        sp.covered = n
+        qual = self._region_quality(seq, sp.tgt, s1, s2)
+        if sp.kind == "head":
+            # target was reversed: result maps to raw [raw_a, raw_b)
+            sp.seq = dna.revcomp_codes(seq)
+            sp.qual = qual[::-1].copy()
+        else:
+            sp.seq = seq
+            sp.qual = qual
+        sp.ok = True
+        return True
+
+    # ---------- assembly ----------
+
+    def _assemble(self, codes: np.ndarray, raw_qual: Optional[np.ndarray],
+                  segs, regions: List[RegionSpec]) -> CorrectedRead:
+        out_seq, out_qual = [], []
+        n_solid = n_regions = n_corr = 0
+
+        def raw_span(a, b):
+            out_seq.append(codes[a:b])
+            if raw_qual is not None:
+                out_qual.append(np.clip(raw_qual[a:b], 33, 33 + self.qv_max))
+            else:
+                out_qual.append(np.full(b - a, 33, dtype=np.uint8))
+
+        for seg in segs:
+            if seg[0] == "raw":
+                raw_span(seg[1], seg[2])
+            elif seg[0] == "solid":
+                n_solid += 1
+                out_seq.append(codes[seg[1]:seg[2]])
+                out_qual.append(np.full(seg[2] - seg[1], self._qual_for(1.0), np.uint8))
+            elif seg[0] == "splice":
+                n_corr += 1
+                out_seq.append(seg[1])
+                out_qual.append(seg[2])
+            else:  # region
+                sp = regions[seg[1]]
+                n_regions += 1
+                if not sp.ok:
+                    raw_span(sp.raw_a, sp.raw_b)
+                    continue
+                n_corr += 1
+                if sp.kind == "gap":
+                    out_seq.append(sp.seq)
+                    out_qual.append(sp.qual)
+                elif sp.kind == "tail":
+                    out_seq.append(sp.seq)
+                    out_qual.append(sp.qual)
+                    if sp.covered < sp.raw_b - sp.raw_a:
+                        raw_span(sp.raw_a + sp.covered, sp.raw_b)
+                else:  # head: corrected suffix of the head span
+                    if sp.covered < sp.raw_b - sp.raw_a:
+                        raw_span(sp.raw_a, sp.raw_b - sp.covered)
+                    out_seq.append(sp.seq)
+                    out_qual.append(sp.qual)
+        seq = np.concatenate(out_seq) if out_seq else np.zeros(0, np.uint8)
+        qual = np.concatenate(out_qual) if out_qual else np.zeros(0, np.uint8)
+        return CorrectedRead(codes=seq, qual=qual, n_solid=n_solid,
+                             n_regions=n_regions, n_corrected=n_corr)
+
+    # ---------- public API ----------
+
+    def correct_batch(self, reads: Sequence[np.ndarray],
+                      quals: Optional[Sequence[np.ndarray]] = None
+                      ) -> List[CorrectedRead]:
+        regions: List[RegionSpec] = []
+        plans = [self._plan_read(i, np.asarray(r, dtype=np.uint8), regions)
+                 for i, r in enumerate(reads)]
+        self._execute_regions(regions)
+        out = []
+        for i, (codes, segs) in enumerate(zip(reads, plans)):
+            rq = None if quals is None else quals[i]
+            out.append(self._assemble(np.asarray(codes, dtype=np.uint8), rq,
+                                      segs, regions))
+        return out
