@@ -213,8 +213,10 @@ class Corrector:
     # ---------- device execution ----------
 
     def _run_bucket(self, specs: List[RegionSpec], nt: int, mirrored: bool):
+        # two padded batch shapes per bucket (8 / batch_regions) so jit
+        # compiles at most twice per target-length bucket
         R = len(specs)
-        Rp = max(8, 1 << int(np.ceil(np.log2(R))))
+        Rp = 8 if R <= 8 else max(self.opt.batch_regions, 1 << int(np.ceil(np.log2(R))))
         cc = self.colors.cap
         tgt_masks = np.zeros((Rp, nt), dtype=np.uint8)
         tgt_len = np.zeros(Rp, dtype=np.int32)

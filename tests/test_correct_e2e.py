@@ -1,0 +1,72 @@
+"""End-to-end correction on simulated data.
+
+The reference's de-facto acceptance test is error-rate reduction (README.md:5:
+"error rate as low as 1.4%" from ~10% raw ONT). We assert a >5x reduction on
+simulated reads, on both a simple and a repeat-heavy genome.
+"""
+
+import numpy as np
+import pytest
+
+from ratatosk_tpu.config import CorrectOpt
+from ratatosk_tpu.correct.engine import Corrector
+from ratatosk_tpu.graph import build as B
+from ratatosk_tpu.graph.colors import color_graph
+from tests import sim
+
+K = 21
+
+
+def _setup(rng, glen, repeat_frac=0.0):
+    genome = sim.random_genome(rng, glen, repeat_frac=repeat_frac, repeat_len=200)
+    sreads = sim.short_reads(rng, genome, coverage=40.0, read_len=120)
+    cdbg = B.build_cdbg(sreads, K, min_count=2)
+    colors = color_graph(cdbg, sreads)
+    opt = CorrectOpt(small_k=K, k=63, beam_width=8, batch_regions=32)
+    return genome, Corrector(cdbg, colors, opt)
+
+
+def test_correct_simple_genome():
+    rng = np.random.default_rng(100)
+    genome, corr = _setup(rng, 12000)
+    lreads = sim.long_reads(rng, genome, n=3, min_len=1500, max_len=2500, err=0.10)
+    res = corr.correct_batch([x[0] for x in lreads])
+    raw = np.mean([sim.error_rate(n, t) for n, t, _ in lreads])
+    cor = np.mean([sim.error_rate(c.codes, t) for (_, t, _), c in zip(lreads, res)])
+    assert raw > 0.07
+    assert cor < raw / 5, f"corrected error {cor:.4f} vs raw {raw:.4f}"
+    assert cor < 0.02
+
+
+def test_correct_repetitive_genome():
+    rng = np.random.default_rng(101)
+    genome, corr = _setup(rng, 15000, repeat_frac=0.2)
+    lreads = sim.long_reads(rng, genome, n=3, min_len=1500, max_len=2500, err=0.10)
+    res = corr.correct_batch([x[0] for x in lreads])
+    raw = np.mean([sim.error_rate(n, t) for n, t, _ in lreads])
+    cor = np.mean([sim.error_rate(c.codes, t) for (_, t, _), c in zip(lreads, res)])
+    assert cor < raw / 5, f"corrected error {cor:.4f} vs raw {raw:.4f}"
+
+
+def test_quality_strings_sane():
+    rng = np.random.default_rng(102)
+    genome, corr = _setup(rng, 8000)
+    lreads = sim.long_reads(rng, genome, n=1, min_len=1200, max_len=1500, err=0.08)
+    res = corr.correct_batch([lreads[0][0]])
+    cr = res[0]
+    assert len(cr.qual) == len(cr.codes)
+    assert (cr.qual >= 33).all() and (cr.qual <= 33 + 40).all()
+    # most bases should be high-confidence (solid spans + clean corrections)
+    assert (cr.qual >= 33 + 35).mean() > 0.5
+    # FASTQ-printable
+    assert all(33 <= c < 127 for c in cr.qual_str.encode())
+
+
+def test_uncorrectable_read_passthrough():
+    rng = np.random.default_rng(103)
+    genome, corr = _setup(rng, 8000)
+    # a read from a different random genome: no anchors -> returned raw
+    other = sim.random_genome(np.random.default_rng(999), 2000)
+    res = corr.correct_batch([other])
+    np.testing.assert_array_equal(res[0].codes, other)
+    assert res[0].n_solid == 0
