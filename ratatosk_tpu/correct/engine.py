@@ -34,7 +34,7 @@ from ratatosk_tpu.graph.colors import GraphColors
 from ratatosk_tpu.ops import cigar as CG
 from ratatosk_tpu.ops import colorset as CS
 
-BUCKETS = (64, 128, 256, 512, 1024)
+BUCKETS = (64, 128, 256, 512, 1024, 2048)
 
 
 @dataclasses.dataclass

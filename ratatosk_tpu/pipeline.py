@@ -1,0 +1,224 @@
+"""Two-pass correction pipeline: the `main` state machine of the reference
+(Ratatosk.cpp:1002-1280, SURVEY.md §3.1) re-expressed.
+
+Pass 1: colored cDBG at k1=31 from short reads -> correct long reads ->
+        `<out>.2.fastq`.
+Pass 2: cDBG at k2=63 from short reads, colored by helper long reads (-a) and
+        pass-1 corrected reads (>= min_len_2nd_pass bp, low-confidence bases
+        masked to N — Graph.cpp:1806-1814) -> correct pass-1 output ->
+        `<out>.fastq[.gz]`.
+`index` stops after construction and persists `<prefix>.index.k<k>.npz`
+(graph/io.py), the 4-step contract the Nextflow layer ships between nodes.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from ratatosk_tpu import dna
+from ratatosk_tpu.config import CorrectOpt
+from ratatosk_tpu.correct.engine import CorrectedRead, Corrector
+from ratatosk_tpu.graph import build as B
+from ratatosk_tpu.graph import io as GIO
+from ratatosk_tpu.graph.colors import GraphColors, color_graph
+from ratatosk_tpu.io import fastx
+
+
+def _log(opt: CorrectOpt, msg: str) -> None:
+    if opt.verbose:
+        print(f"[ratatosk_tpu] {msg}", file=sys.stderr, flush=True)
+
+
+def _expand_file_lists(paths: List[str]) -> List[str]:
+    """A non-FASTA/FASTQ input is a list file: one path per line
+    (reference Common.cpp:396-493 check_files indirection)."""
+    out = []
+    for p in paths:
+        try:
+            fastx.sniff_format(p)
+            out.append(p)
+        except (ValueError, UnicodeDecodeError):
+            with open(p) as f:
+                out.extend(line.strip() for line in f if line.strip())
+    return out
+
+
+def load_short_reads(opt: CorrectOpt) -> Tuple[List[np.ndarray], List[int]]:
+    """Short reads + color ids. Mates share a name => share one color id
+    (reference: paired reads must share names, Ratatosk.cpp usage header)."""
+    reads, ids = [], []
+    name_to_id: dict = {}
+    for rec in fastx.read_many(_expand_file_lists(opt.filename_seq_in)):
+        cid = name_to_id.setdefault(rec.name, len(name_to_id))
+        reads.append(rec.codes)
+        ids.append(cid)
+    return reads, ids
+
+
+def build_pass1_index(opt: CorrectOpt,
+                      short_reads: Optional[list] = None,
+                      read_ids: Optional[list] = None):
+    if short_reads is None:
+        short_reads, read_ids = load_short_reads(opt)
+    k = opt.small_k
+    _log(opt, f"pass 1: building cDBG k={k} from {len(short_reads)} short reads")
+    t0 = time.time()
+    cdbg = B.build_cdbg(short_reads, k, min_count=opt.min_count_kmer)
+    _log(opt, f"pass 1: {cdbg.n_unitigs} unitigs, {cdbg.index.n} k-mers "
+              f"({time.time() - t0:.1f}s)")
+    colors = color_graph(cdbg, short_reads, read_ids=read_ids,
+                         cap=opt.max_cov_vertices,
+                         min_cov_edge=opt.min_cov_vertices)
+    return cdbg, colors
+
+
+def build_pass2_index(opt: CorrectOpt,
+                      corrected: Iterable[Tuple[np.ndarray, np.ndarray]],
+                      short_reads: Optional[list] = None,
+                      read_ids: Optional[list] = None):
+    """Pass-2 graph from short reads at k2; colors from corrected/helper LRs.
+
+    corrected: (codes, qual) pairs from pass 1. Bases below the pass-2
+    confidence threshold are masked to N before coloring (Graph.cpp:1806-1814);
+    reads shorter than min_len_2nd_pass are skipped.
+    """
+    if short_reads is None:
+        short_reads, read_ids = load_short_reads(opt)
+    k = opt.k
+    _log(opt, f"pass 2: building cDBG k={k}")
+    cdbg = B.build_cdbg(short_reads, k, min_count=opt.min_count_kmer)
+    _log(opt, f"pass 2: {cdbg.n_unitigs} unitigs, {cdbg.index.n} k-mers")
+    color_reads: List[np.ndarray] = []
+    min_q = 33 + int(opt.min_confidence_2nd_pass * opt.max_qual)
+    for codes, qual in corrected:
+        if len(codes) < opt.min_len_2nd_pass:
+            continue
+        masked = codes.copy()
+        if qual is not None and opt.min_confidence_2nd_pass > 0:
+            masked[qual < min_q] = 4
+        color_reads.append(masked)
+    for p in _expand_file_lists(opt.filename_helper_long_in):
+        for rec in fastx.read_fastx(p):
+            color_reads.append(rec.codes)
+    _log(opt, f"pass 2: coloring with {len(color_reads)} long reads")
+    colors = color_graph(cdbg, color_reads,
+                         cap=opt.max_cov_vertices,
+                         min_cov_edge=opt.min_cov_vertices)
+    return cdbg, colors
+
+
+def correct_file(corrector: Corrector, opt: CorrectOpt, in_paths: List[str],
+                 out_path: str, pass_no: int,
+                 trim_qual: int = 0) -> Tuple[int, int]:
+    """Stream long reads in ~read_batch_bp batches through the corrector."""
+    n_reads = n_bases = 0
+    writer = fastx.FastqWriter(out_path, trim_qual=trim_qual, min_len=opt.k)
+    batch_reads: List[np.ndarray] = []
+    batch_quals: List[Optional[np.ndarray]] = []
+    batch_names: List[str] = []
+
+    def flush():
+        nonlocal n_reads, n_bases
+        if not batch_reads:
+            return
+        quals = batch_quals if any(q is not None for q in batch_quals) else None
+        results = corrector.correct_batch(batch_reads, quals)
+        for name, cr in zip(batch_names, results):
+            writer.write(name, cr.codes, cr.qual)
+            n_reads += 1
+            n_bases += len(cr.codes)
+        batch_reads.clear()
+        batch_quals.clear()
+        batch_names.clear()
+
+    bp = 0
+    for rec in fastx.read_many(_expand_file_lists(in_paths)):
+        batch_reads.append(rec.codes)
+        batch_quals.append(rec.qual)
+        batch_names.append(rec.name)
+        bp += len(rec.codes)
+        if bp >= opt.read_batch_bp:
+            flush()
+            bp = 0
+    flush()
+    writer.close()
+    return n_reads, n_bases
+
+
+def run_correct(opt: CorrectOpt) -> None:
+    opt.validate()
+    prefix = opt.prefix_filename_out
+    pass1_out = f"{prefix}.2.fastq"
+    final_out = f"{prefix}.fastq"
+    short_reads = read_ids = None
+    # a prebuilt index (-g) covers the pass it starts; a full two-pass run
+    # still needs the short reads to build the other pass's graph
+    need_shorts = (not opt.filename_graph_in
+                   or not (opt.pass1_only or opt.pass2_only))
+    if need_shorts:
+        short_reads, read_ids = load_short_reads(opt)
+
+    if not opt.pass2_only:
+        if opt.filename_graph_in:
+            cdbg, colors = GIO.load_index(opt.filename_graph_in)
+            _log(opt, f"pass 1: loaded index {opt.filename_graph_in}")
+        else:
+            cdbg, colors = build_pass1_index(opt, short_reads, read_ids)
+        o1 = _pass_opt(opt, 1)
+        corr = Corrector(cdbg, colors, o1)
+        out = pass1_out if not opt.pass1_only else final_out
+        n, bp = correct_file(corr, o1, opt.filename_long_in, out, 1,
+                             trim_qual=opt.trim_qual if opt.pass1_only else 0)
+        _log(opt, f"pass 1: corrected {n} reads / {bp} bases -> {out}")
+        if opt.pass1_only:
+            return
+        pass2_in = [out]
+    else:
+        pass2_in = opt.filename_long_in  # already pass-1-corrected input
+
+    corrected = (
+        (rec.codes, rec.qual)
+        for rec in fastx.read_many(_expand_file_lists(pass2_in))
+    )
+    if opt.filename_graph_in and opt.pass2_only:
+        cdbg2, colors2 = GIO.load_index(opt.filename_graph_in)
+    else:
+        cdbg2, colors2 = build_pass2_index(opt, corrected, short_reads, read_ids)
+    o2 = _pass_opt(opt, 2)
+    corr2 = Corrector(cdbg2, colors2, o2)
+    n, bp = correct_file(corr2, o2, pass2_in, final_out, 2,
+                         trim_qual=opt.trim_qual)
+    _log(opt, f"pass 2: corrected {n} reads / {bp} bases -> {final_out}")
+
+
+def run_index(opt: CorrectOpt) -> None:
+    opt.validate()
+    prefix = opt.prefix_filename_out
+    short_reads, read_ids = load_short_reads(opt)
+    if opt.pass1_only or not opt.pass2_only:
+        cdbg, colors = build_pass1_index(opt, short_reads, read_ids)
+        path = GIO.index_path(prefix, opt.small_k)
+        GIO.save_index(path, cdbg, colors)
+        _log(opt, f"wrote {path}")
+    if opt.pass2_only:
+        corrected = (
+            (rec.codes, rec.qual)
+            for rec in fastx.read_many(_expand_file_lists(opt.filename_long_in))
+        )
+        cdbg2, colors2 = build_pass2_index(opt, corrected, short_reads, read_ids)
+        path = GIO.index_path(prefix, opt.k)
+        GIO.save_index(path, cdbg2, colors2)
+        _log(opt, f"wrote {path}")
+
+
+def _pass_opt(opt: CorrectOpt, pass_no: int) -> CorrectOpt:
+    """Per-pass view: pass 2 corrects longer weak regions (Common.hpp:131-132)."""
+    import dataclasses as _dc
+    o = _dc.replace(opt)
+    if pass_no == 2:
+        o.max_len_weak_region1 = opt.max_len_weak_region2
+    return o
