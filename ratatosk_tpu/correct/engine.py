@@ -37,6 +37,45 @@ from ratatosk_tpu.ops import colorset as CS
 BUCKETS = (64, 128, 256, 512, 1024, 2048)
 
 
+def make_region_batch(specs: List["RegionSpec"], nt: int, color_cap: int, *,
+                      mirrored: bool = False, r_pad: Optional[int] = None,
+                      len_factor: float = 0.25):
+    """Pack RegionSpecs into a padded device RegionBatch.
+
+    Returns (RegionBatch, lmax). Padding rows are inert (tgt_len=1, open).
+    """
+    R = len(specs)
+    Rp = r_pad or R
+    tgt_masks = np.zeros((Rp, nt), dtype=np.uint8)
+    tgt_len = np.ones(Rp, dtype=np.int32)
+    start_tip = np.zeros(Rp, dtype=np.int32)
+    start_off = np.zeros(Rp, dtype=np.int32)
+    end_tip = np.full(Rp, -1, dtype=np.int32)
+    end_off = np.zeros(Rp, dtype=np.int32)
+    colors = np.full((Rp, color_cap), CS.PAD, dtype=np.int32)
+    max_plen = np.ones(Rp, dtype=np.int32)
+    for i, sp in enumerate(specs):
+        if mirrored:
+            tgt = sp.mirror_tgt
+            stip, soff, etip, eoff = sp.mirror
+        else:
+            tgt, stip, soff = sp.tgt, sp.start_tip, sp.start_off
+            etip, eoff = sp.end_tip, sp.end_off
+        tgt_masks[i, :len(tgt)] = dna.codes_to_masks(tgt)
+        tgt_len[i] = len(tgt)
+        start_tip[i], start_off[i] = stip, soff
+        end_tip[i], end_off[i] = etip, eoff
+        colors[i] = sp.colors_row
+        max_plen[i] = int(np.ceil((1.0 + len_factor) * len(tgt))) + 4
+    lmax = int(np.ceil((1.0 + len_factor) * nt)) + 4
+    rb = BM.RegionBatch(
+        tgt_masks=jnp.asarray(tgt_masks), tgt_len=jnp.asarray(tgt_len),
+        start_tip=jnp.asarray(start_tip), start_off=jnp.asarray(start_off),
+        end_tip=jnp.asarray(end_tip), end_off=jnp.asarray(end_off),
+        colors=jnp.asarray(colors), max_plen=jnp.asarray(max_plen))
+    return rb, lmax
+
+
 @dataclasses.dataclass
 class RegionSpec:
     read_idx: int
@@ -217,35 +256,9 @@ class Corrector:
         # compiles at most twice per target-length bucket
         R = len(specs)
         Rp = 8 if R <= 8 else max(self.opt.batch_regions, 1 << int(np.ceil(np.log2(R))))
-        cc = self.colors.cap
-        tgt_masks = np.zeros((Rp, nt), dtype=np.uint8)
-        tgt_len = np.zeros(Rp, dtype=np.int32)
-        start_tip = np.zeros(Rp, dtype=np.int32)
-        start_off = np.zeros(Rp, dtype=np.int32)
-        end_tip = np.full(Rp, -1, dtype=np.int32)
-        end_off = np.zeros(Rp, dtype=np.int32)
-        colors = np.full((Rp, cc), CS.PAD, dtype=np.int32)
-        max_plen = np.ones(Rp, dtype=np.int32)
-        for i, sp in enumerate(specs):
-            if mirrored:
-                tgt = sp.mirror_tgt
-                stip, soff, etip, eoff = sp.mirror
-            else:
-                tgt, stip, soff = sp.tgt, sp.start_tip, sp.start_off
-                etip, eoff = sp.end_tip, sp.end_off
-            tgt_masks[i, :len(tgt)] = dna.codes_to_masks(tgt)
-            tgt_len[i] = len(tgt)
-            start_tip[i], start_off[i] = stip, soff
-            end_tip[i], end_off[i] = etip, eoff
-            colors[i] = sp.colors_row
-            f = self.opt.weak_region_len_factor
-            max_plen[i] = int(np.ceil((1.0 + f) * len(tgt))) + 4
-        lmax = int(np.ceil(1.25 * nt)) + 4
-        rb = BM.RegionBatch(
-            tgt_masks=jnp.asarray(tgt_masks), tgt_len=jnp.asarray(tgt_len),
-            start_tip=jnp.asarray(start_tip), start_off=jnp.asarray(start_off),
-            end_tip=jnp.asarray(end_tip), end_off=jnp.asarray(end_off),
-            colors=jnp.asarray(colors), max_plen=jnp.asarray(max_plen))
+        rb, lmax = make_region_batch(
+            specs, nt, self.colors.cap, mirrored=mirrored, r_pad=Rp,
+            len_factor=self.opt.weak_region_len_factor)
         res = BM.beam_search(self.g, rb, beam=self.opt.beam_width, lmax=lmax,
                              min_cov=self.opt.min_cov_vertices)
         return {f: np.asarray(getattr(res, f))[:R] for f in res._fields}
