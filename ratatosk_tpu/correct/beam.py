@@ -168,35 +168,57 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, min_cov: int):
                                 cand_ccsum, cand_nvis)
     score = jnp.where(valid, score, NEG)
 
-    # select top `beam` of the 4B candidates per region
-    flat = lambda x: x.reshape(R, B * 4, *x.shape[3:])
-    fscore = flat(score)
+    # --- top-`beam` selection as one-hot matmuls (MXU) ---
+    # take_along_axis over a middle axis and element scatters serialize on
+    # TPU (~1ms each); a [R,B,C] one-hot times a [R,C,F] feature tensor is a
+    # small batched matmul instead. One-hot rows are exactly 1.0 and every
+    # carried value is < 2^24, so the f32 contraction is exact.
+    C = B * 4
+    fscore = score.reshape(R, C)
     _, sel = jax.lax.top_k(fscore, B)                      # [R, B]
-    take = lambda x: jnp.take_along_axis(
-        flat(x), sel.reshape(R, B, *([1] * (x.ndim - 3))).astype(jnp.int32)
-        if x.ndim > 3 else sel, axis=1)
+    P = jax.nn.one_hot(sel, C, dtype=jnp.float32)          # [R, B, C]
+
+    scalars = jnp.stack([
+        cand_tip.astype(jnp.float32),
+        cand_off.astype(jnp.float32),
+        cand_plen.astype(jnp.float32),
+        cand_frozen.astype(jnp.float32),
+        cand_compl.astype(jnp.float32),
+        cand_ccsum,
+        cand_nvis.astype(jnp.float32),
+        emits.astype(jnp.float32),
+        (cand_tip & 3).astype(jnp.float32) * 0,  # pad to 9 for alignment
+    ], axis=-1).reshape(R, C, 9)
+    feat = jnp.concatenate([scalars, cand_row.astype(jnp.float32).reshape(R, C, n1)],
+                           axis=-1)                        # [R, C, 9+n1]
+    selected = jnp.einsum("rbc,rcf->rbf", P, feat,
+                          preferred_element_type=jnp.float32)
+    new_tip = selected[..., 0].astype(jnp.int32)
+    new_off = selected[..., 1].astype(jnp.int32)
+    new_plen = selected[..., 2].astype(jnp.int32)
+    new_frozen = selected[..., 3] > 0.5
+    new_compl = selected[..., 4] > 0.5
+    new_ccsum = selected[..., 5]
+    new_nvis = selected[..., 6].astype(jnp.int32)
+    sel_emit = selected[..., 7] > 0.5
+    new_row = selected[..., 9:].astype(jnp.int32)
     new_live = jnp.take_along_axis(fscore, sel, axis=1) > NEG / 2
 
-    # sequences: gather the parent (sel>>2), then write the emitted base
-    # (the slot index sel&3) at column plen-1
-    parent = sel >> 2
-    sel_c = sel & 3
-    seq_par = jnp.take_along_axis(st.seq, parent[..., None], axis=1)  # [R,B,L]
-    sel_emit = take(emits.astype(jnp.int32)) > 0
-    sel_plen = take(cand_plen)
-    wcol = jnp.clip(sel_plen - 1, 0, L - 1).reshape(-1)
-    flat_seq = seq_par.reshape(R * B, L)
-    rows_i = jnp.arange(R * B)
-    old_val = flat_seq[rows_i, wcol]
-    new_val = jnp.where(sel_emit.reshape(-1), sel_c.reshape(-1).astype(jnp.uint8), old_val)
-    seq_new = flat_seq.at[rows_i, wcol].set(new_val).reshape(R, B, L)
+    # sequences: parent one-hot matmul, then write the emitted base (the
+    # candidate's slot index sel&3) at column plen-1 via an iota mask
+    Pp = jax.nn.one_hot(sel >> 2, B, dtype=jnp.float32)    # [R, B, B]
+    seq_par = jnp.einsum("rbp,rpl->rbl", Pp, st.seq.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+    sel_c = (sel & 3).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, B, L), 2)
+    wmask = sel_emit[..., None] & (col == (new_plen - 1)[..., None])
+    seq_new = jnp.where(wmask, sel_c[..., None], seq_par).astype(jnp.uint8)
 
     return BeamState(
-        tip=take(cand_tip), off=take(cand_off), plen=sel_plen,
-        seq=seq_new, row=take(cand_row),
-        live=new_live, frozen=take(cand_frozen.astype(jnp.int32)) > 0,
-        compl_=take(cand_compl.astype(jnp.int32)) > 0,
-        ccsum=take(cand_ccsum), nvis=take(cand_nvis),
+        tip=new_tip, off=new_off, plen=new_plen,
+        seq=seq_new, row=new_row,
+        live=new_live, frozen=new_frozen, compl_=new_compl,
+        ccsum=new_ccsum, nvis=new_nvis,
     )
 
 

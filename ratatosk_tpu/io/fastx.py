@@ -51,7 +51,12 @@ def sniff_format(path: str) -> str:
     raise ValueError(f"{path}: not FASTA/FASTQ (starts with {c!r})")
 
 
-def read_fastx(path: str) -> Iterator[Record]:
+def read_fastx(path: str, prefer_native: bool = True) -> Iterator[Record]:
+    if prefer_native:
+        from ratatosk_tpu.io import native
+        if native.available():
+            yield from native.read_records(path)
+            return
     fmt = sniff_format(path)
     with _open(path) as f:
         if fmt == "fasta":
