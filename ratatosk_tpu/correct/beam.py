@@ -116,9 +116,7 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, min_cov: int):
     esup = g.edge_support[uid, d]          # [R, B, 4]
     cand_uid = jnp.maximum(e >> 1, 0)
     ccols = g.color_rows[cand_uid]         # [R, B, 4, cap]
-    rcols = jnp.broadcast_to(rb.colors[:, None, None, :],
-                             (R, B, 4, rb.colors.shape[-1]))
-    shared = CS.contains_rows(rcols, ccols, jnp).sum(axis=-1).astype(jnp.int32)
+    shared = CS.intersect_count_dense(ccols, rb.colors[:, None, None, :], jnp)
     branch_ok = (e >= 0) & esup & (shared >= min_cov) & at_bound[..., None]
 
     cidx = jnp.arange(4, dtype=jnp.int32)[None, None, :]

@@ -86,6 +86,12 @@ def revcomp_str(seq: str) -> str:
     return decode(revcomp_codes(encode(seq)))
 
 
+def revcomp_mask(mask: int) -> int:
+    """Complement a 4-bit IUPAC mask (A<->T, C<->G)."""
+    m = int(mask)
+    return (((m & 1) << 3) | ((m & 8) >> 3) | ((m & 2) << 1) | ((m & 4) >> 1))
+
+
 def entropy(codes: np.ndarray) -> float:
     """Base-composition Shannon entropy in bits (reference Common.cpp:5-33).
 
