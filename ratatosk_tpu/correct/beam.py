@@ -248,8 +248,12 @@ def beam_search(g: DeviceGraph, rb: RegionBatch, *, beam: int, lmax: int,
     score, dist_pref, dist_nw = _entry_scores(st.row, st.plen, st.compl_, tlb,
                                               st.ccsum, st.nvis)
     is_open = rb.end_tip < 0
-    # closed regions rank completed paths only; open regions rank every path
-    eligible = jnp.where(is_open[:, None], st.live, st.live & st.compl_)
+    # closed regions rank completed paths; if none completed, fall back to the
+    # best partial path (the engine merges fw/bw partials, generateConsensus-
+    # style, Alignment.cpp:309-470). Open regions rank every path.
+    has_compl = (st.live & st.compl_).any(axis=1)
+    eligible = jnp.where(is_open[:, None] | ~has_compl[:, None],
+                         st.live, st.live & st.compl_)
     escore = jnp.where(eligible, score, NEG)
     order = jnp.argsort(-escore, axis=1)
     b0 = order[:, 0]

@@ -98,6 +98,11 @@ class RegionSpec:
     seq: Optional[np.ndarray] = None      # corrected codes (read orientation)
     qual: Optional[np.ndarray] = None     # per-base quality chars
     covered: int = 0                      # target prefix covered (open regions)
+    # partial paths when neither direction completes (consensus merge,
+    # Alignment.cpp:309-470): (trimmed codes in path orientation, target
+    # columns covered, align score)
+    partial_fw: Optional[tuple] = None
+    partial_bw: Optional[tuple] = None
 
 
 @dataclasses.dataclass
@@ -301,6 +306,9 @@ class Corrector:
         s2 = None if d2 >= (1 << 20) else 1.0 - d2 / max(n, 1)
         if sp.kind == "gap":
             if not bool(res["completed"][j]) or blen == 0 or s1 < 0.0:
+                self._record_partial(sp, seq, res, j, mirrored)
+                if mirrored:
+                    return self._merge_partials(sp)
                 return False
             if mirrored:
                 # mirrored path covers raw [raw_a-k, raw_b-k) reversed; drop its
@@ -319,6 +327,77 @@ class Corrector:
                 sp.qual = self._region_quality(seq, sp.tgt, s1, s2)
             sp.ok = True
             return True
+        return self._finish_open(sp, res, j, seq, blen, d1, s2)
+
+    def _record_partial(self, sp: RegionSpec, seq: np.ndarray, res, j: int,
+                        mirrored: bool) -> None:
+        """Trim a non-completed path to its covered target prefix and stash it."""
+        end = int(res["best_end"][j])
+        blen = len(seq)
+        if blen == 0 or end <= 0:
+            return
+        tgt = sp.mirror_tgt if mirrored else sp.tgt
+        tdist, _, _, jend = CG.traceback(dna.codes_to_masks(tgt[:end]),
+                                         dna.codes_to_masks(seq), CG.SHW)
+        if jend <= 0:
+            return
+        s = 1.0 - tdist / max(end, 1)
+        if s < 0.25:
+            return
+        part = (seq[:jend].copy(), end, s)
+        if mirrored:
+            sp.partial_bw = part
+        else:
+            sp.partial_fw = part
+
+    def _merge_partials(self, sp: RegionSpec) -> bool:
+        """Consensus of partial fw/bw corrections (Alignment.cpp:309-470).
+
+        fw covers raw [raw_a, raw_a+end_f); bw (reversed) covers
+        raw [raw_b-k-end_b, raw_b-k), to which the solid right-anchor k-mer
+        raw[raw_b-k, raw_b) is appended. Overlapping partials keep whichever
+        direction corrected the longer stretch (Alignment.cpp:415-448).
+        """
+        k = self.cdbg.k
+        n = len(sp.tgt)
+        f = sp.partial_fw
+        b = sp.partial_bw
+        if f is None and b is None:
+            return False
+        end_f = f[1] if f else 0
+        end_b = b[1] if b else 0
+        anchor = sp.tgt[-k:]
+        anchor_q = np.full(k, self._qual_for(1.0), np.uint8)
+        if f and (not b or end_f >= end_b) and end_f + k <= n:
+            # fw partial + raw middle + raw anchor
+            qual_f = np.full(len(f[0]), self._qual_for(f[2]), np.uint8)
+            mid = sp.tgt[end_f:n - k]
+            mid_q = np.full(len(mid), 33, np.uint8)
+            if b and end_f + end_b + k <= n:
+                bw_seq = dna.revcomp_codes(b[0])
+                qual_b = np.full(len(bw_seq), self._qual_for(b[2]), np.uint8)
+                mid = sp.tgt[end_f:n - k - end_b]
+                mid_q = np.full(len(mid), 33, np.uint8)
+                sp.seq = np.concatenate([f[0], mid, bw_seq, anchor])
+                sp.qual = np.concatenate([qual_f, mid_q, qual_b, anchor_q])
+            else:
+                sp.seq = np.concatenate([f[0], mid, anchor])
+                sp.qual = np.concatenate([qual_f, mid_q, anchor_q])
+        elif b and end_b + k <= n:
+            bw_seq = dna.revcomp_codes(b[0])
+            qual_b = np.full(len(bw_seq), self._qual_for(b[2]), np.uint8)
+            mid = sp.tgt[:n - k - end_b]
+            sp.seq = np.concatenate([mid, bw_seq, anchor])
+            sp.qual = np.concatenate([np.full(len(mid), 33, np.uint8), qual_b,
+                                      anchor_q])
+        else:
+            return False
+        sp.ok = True
+        return True
+
+    def _finish_open(self, sp: RegionSpec, res, j: int, seq: np.ndarray,
+                     blen: int, d1: int, s2) -> bool:
+        n = len(sp.tgt)
         # open regions (head/tail): SHW-trim the path overshoot — align the
         # raw target into the path and cut where the target ends (the
         # reference's trim, Correction.cpp:727-747)
