@@ -239,10 +239,17 @@ def beam_search(g: DeviceGraph, rb: RegionBatch, *, beam: int, lmax: int,
         nvis=jnp.zeros((R, beam), jnp.int32),
     )
 
-    def body(_, s):
-        return _beam_step(g, rb, s, min_cov)
+    # while_loop with an all-frozen early exit: most regions complete near
+    # their target length, well before the bucket's worst-case lmax
+    def cond(carry):
+        i, s = carry
+        return (i < lmax) & (s.live & ~s.frozen).any()
 
-    st = jax.lax.fori_loop(0, lmax, body, st)
+    def body(carry):
+        i, s = carry
+        return i + 1, _beam_step(g, rb, s, min_cov)
+
+    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
 
     tlb = jnp.broadcast_to(rb.tgt_len[:, None], st.plen.shape)
     score, dist_pref, dist_nw = _entry_scores(st.row, st.plen, st.compl_, tlb,

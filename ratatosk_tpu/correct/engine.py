@@ -256,7 +256,7 @@ class Corrector:
 
     # ---------- device execution ----------
 
-    def _run_bucket(self, specs: List[RegionSpec], nt: int, mirrored: bool):
+    def _launch_bucket(self, specs: List[RegionSpec], nt: int, mirrored: bool):
         # two padded batch shapes per bucket (8 / batch_regions) so jit
         # compiles at most twice per target-length bucket
         R = len(specs)
@@ -264,13 +264,13 @@ class Corrector:
         rb, lmax = make_region_batch(
             specs, nt, self.colors.cap, mirrored=mirrored, r_pad=Rp,
             len_factor=self.opt.weak_region_len_factor)
-        res = BM.beam_search(self.g, rb, beam=self.opt.beam_width, lmax=lmax,
-                             min_cov=self.opt.min_cov_vertices)
-        return {f: np.asarray(getattr(res, f))[:R] for f in res._fields}
+        return BM.beam_search(self.g, rb, beam=self.opt.beam_width, lmax=lmax,
+                              min_cov=self.opt.min_cov_vertices)
 
     def _execute_regions(self, regions: List[RegionSpec]):
-        k = self.cdbg.k
-        # forward pass, bucketed by target length
+        # forward pass, bucketed by target length; all bucket batches are
+        # dispatched asynchronously before any result is read back, so the
+        # device pipelines across buckets
         pending = [(i, False) for i in range(len(regions))]
         while pending:
             by_bucket: dict = {}
@@ -280,19 +280,24 @@ class Corrector:
                 if nt is None:
                     continue
                 by_bucket.setdefault(nt, []).append((i, mirrored))
-            retry = []
             chunk = max(self.opt.batch_regions, 8)
+            launched = []
             for nt, items in by_bucket.items():
                 for c0 in range(0, len(items), chunk):
                     part = items[c0:c0 + chunk]
                     idxs = [i for i, _ in part]
                     mirrored = part[0][1]
-                    res = self._run_bucket([regions[i] for i in idxs], nt, mirrored)
-                    for j, i in enumerate(idxs):
-                        sp = regions[i]
-                        ok = self._finish_region(sp, res, j, mirrored)
-                        if not ok and not mirrored and sp.kind == "gap" and sp.mirror:
-                            retry.append((i, True))
+                    res = self._launch_bucket([regions[i] for i in idxs], nt, mirrored)
+                    launched.append((idxs, mirrored, res))
+            retry = []
+            for idxs, mirrored, res in launched:
+                resnp = {f: np.asarray(getattr(res, f))[:len(idxs)]
+                         for f in res._fields}
+                for j, i in enumerate(idxs):
+                    sp = regions[i]
+                    ok = self._finish_region(sp, resnp, j, mirrored)
+                    if not ok and not mirrored and sp.kind == "gap" and sp.mirror:
+                        retry.append((i, True))
             pending = retry
 
     def _finish_region(self, sp: RegionSpec, res, j: int, mirrored: bool) -> bool:

@@ -58,11 +58,14 @@ class DeviceGraph:
     @staticmethod
     def from_host(cdbg: Cdbg, colors: GraphColors, device=None) -> "DeviceGraph":
         put = (lambda x: jax.device_put(x, device)) if device else jnp.asarray
+        if cdbg.uoff[-1] >= (1 << 31):
+            raise ValueError("unitig catalog exceeds int32 addressing; "
+                             "shard the index (parallel/) before device upload")
         return DeviceGraph(
             k=cdbg.k,
             color_cap=colors.cap,
             useq=put(cdbg.useq),
-            uoff=put(cdbg.uoff),
+            uoff=put(cdbg.uoff.astype(np.int32)),
             ulen=put(cdbg.ulen.astype(np.int32)),
             edges=put(cdbg.edges),
             edge_support=put(colors.edge_support),
