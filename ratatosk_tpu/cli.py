@@ -75,6 +75,8 @@ def _build_opt(args, index_mode: bool) -> CorrectOpt:
         max_len_weak_region1=getattr(args, "max_len_weak1", 1000),
         max_len_weak_region2=getattr(args, "max_len_weak2", 5000),
         filenames_long_raw=list(getattr(args, "in_long_raw", [])),
+        filename_phase_short=list(getattr(args, "in_short_phase", [])),
+        filename_phase_long=list(getattr(args, "in_long_phase", [])),
         sampling_rate=args.subsampling,
         nb_threads=args.cores,
         verbose=args.verbose,

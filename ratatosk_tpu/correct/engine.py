@@ -123,13 +123,16 @@ class CorrectedRead:
 
 
 class Corrector:
-    def __init__(self, cdbg: Cdbg, colors: GraphColors, opt: Optional[CorrectOpt] = None):
+    def __init__(self, cdbg: Cdbg, colors: GraphColors,
+                 opt: Optional[CorrectOpt] = None, hap=None):
         self.cdbg = cdbg
         self.colors = colors
         self.opt = opt or CorrectOpt()
+        self.hap = hap   # graph.phasing.HapReads or None
         self.g = DeviceGraph.from_host(cdbg, colors)
         self.nk = cdbg.nkmers
         self.qv_max = self.opt.max_qual
+        self._cur_hap = -1   # haplotype of the read being planned
 
     # ---------- helpers ----------
 
@@ -143,10 +146,15 @@ class Corrector:
 
     def _region_colors(self, u1: int, u2: int = -1) -> np.ndarray:
         r1 = self.colors.rows[u1]
-        if u2 < 0:
-            return r1
-        return CS.union_rows(r1[None], self.colors.rows[u2][None], np,
-                             self.colors.cap)[0]
+        if u2 >= 0:
+            r1 = CS.union_rows(r1[None], self.colors.rows[u2][None], np,
+                               self.colors.cap)[0]
+        if self.hap is not None and self._cur_hap >= 0:
+            # phased read: correct with same-haplotype + unphased short reads
+            # (chooseColors' haplotype intersection, Correction.cpp:256)
+            from ratatosk_tpu.graph import phasing as PH
+            r1 = PH.filter_colors_by_hap(r1, self.hap, self._cur_hap)
+        return r1
 
     def _qual_for(self, score: float) -> int:
         return dna.get_qual_char(max(score, 0.0), qv_max=self.qv_max)
@@ -481,11 +489,16 @@ class Corrector:
     # ---------- public API ----------
 
     def correct_batch(self, reads: Sequence[np.ndarray],
-                      quals: Optional[Sequence[np.ndarray]] = None
+                      quals: Optional[Sequence[np.ndarray]] = None,
+                      names: Optional[Sequence[str]] = None
                       ) -> List[CorrectedRead]:
         regions: List[RegionSpec] = []
-        plans = [self._plan_read(i, np.asarray(r, dtype=np.uint8), regions)
-                 for i, r in enumerate(reads)]
+        plans = []
+        for i, r in enumerate(reads):
+            self._cur_hap = (self.hap.hap_of(names[i])
+                             if self.hap is not None and names is not None else -1)
+            plans.append(self._plan_read(i, np.asarray(r, dtype=np.uint8), regions))
+        self._cur_hap = -1
         self._execute_regions(regions)
         out = []
         for i, (codes, segs) in enumerate(zip(reads, plans)):

@@ -47,23 +47,37 @@ def _expand_file_lists(paths: List[str]) -> List[str]:
     return out
 
 
-def load_short_reads(opt: CorrectOpt) -> Tuple[List[np.ndarray], List[int]]:
-    """Short reads + color ids. Mates share a name => share one color id
-    (reference: paired reads must share names, Ratatosk.cpp usage header)."""
-    reads, ids = [], []
+def load_short_reads(opt: CorrectOpt):
+    """Short reads + color ids + names. Mates share a name => share one color
+    id (reference: paired reads must share names, Ratatosk.cpp usage header)."""
+    reads, ids, names = [], [], []
     name_to_id: dict = {}
     for rec in fastx.read_many(_expand_file_lists(opt.filename_seq_in)):
         cid = name_to_id.setdefault(rec.name, len(name_to_id))
         reads.append(rec.codes)
         ids.append(cid)
-    return reads, ids
+        names.append(rec.name)
+    return reads, ids, names
+
+
+def load_hap(opt: CorrectOpt, read_ids, read_names):
+    """HapReads from -p/-P phasing TSVs, bound to short-read color ids."""
+    paths = _expand_file_lists(list(opt.filename_phase_short)
+                               + list(opt.filename_phase_long))
+    if not paths:
+        return None
+    from ratatosk_tpu.graph import phasing as PH
+    hap = PH.load_phasing(paths)
+    if read_ids is not None and read_names is not None:
+        PH.bind_colors(hap, read_names, read_ids)
+    return hap
 
 
 def build_pass1_index(opt: CorrectOpt,
                       short_reads: Optional[list] = None,
                       read_ids: Optional[list] = None):
     if short_reads is None:
-        short_reads, read_ids = load_short_reads(opt)
+        short_reads, read_ids, _ = load_short_reads(opt)
     k = opt.small_k
     _log(opt, f"pass 1: building cDBG k={k} from {len(short_reads)} short reads")
     t0 = time.time()
@@ -87,7 +101,7 @@ def build_pass2_index(opt: CorrectOpt,
     reads shorter than min_len_2nd_pass are skipped.
     """
     if short_reads is None:
-        short_reads, read_ids = load_short_reads(opt)
+        short_reads, read_ids, _ = load_short_reads(opt)
     k = opt.k
     _log(opt, f"pass 2: building cDBG k={k}")
     cdbg = B.build_cdbg(short_reads, k, min_count=opt.min_count_kmer)
@@ -126,7 +140,7 @@ def correct_file(corrector: Corrector, opt: CorrectOpt, in_paths: List[str],
         if not batch_reads:
             return
         quals = batch_quals if any(q is not None for q in batch_quals) else None
-        results = corrector.correct_batch(batch_reads, quals)
+        results = corrector.correct_batch(batch_reads, quals, batch_names)
         for name, cr in zip(batch_names, results):
             writer.write(name, cr.codes, cr.qual)
             n_reads += 1
@@ -154,13 +168,14 @@ def run_correct(opt: CorrectOpt) -> None:
     prefix = opt.prefix_filename_out
     pass1_out = f"{prefix}.2.fastq"
     final_out = f"{prefix}.fastq"
-    short_reads = read_ids = None
+    short_reads = read_ids = read_names = None
     # a prebuilt index (-g) covers the pass it starts; a full two-pass run
     # still needs the short reads to build the other pass's graph
     need_shorts = (not opt.filename_graph_in
                    or not (opt.pass1_only or opt.pass2_only))
     if need_shorts:
-        short_reads, read_ids = load_short_reads(opt)
+        short_reads, read_ids, read_names = load_short_reads(opt)
+    hap = load_hap(opt, read_ids, read_names)
 
     if not opt.pass2_only:
         if opt.filename_graph_in:
@@ -169,7 +184,7 @@ def run_correct(opt: CorrectOpt) -> None:
         else:
             cdbg, colors = build_pass1_index(opt, short_reads, read_ids)
         o1 = _pass_opt(opt, 1)
-        corr = Corrector(cdbg, colors, o1)
+        corr = Corrector(cdbg, colors, o1, hap=hap)
         out = pass1_out if not opt.pass1_only else final_out
         n, bp = correct_file(corr, o1, opt.filename_long_in, out, 1,
                              trim_qual=opt.trim_qual if opt.pass1_only else 0)
@@ -189,7 +204,7 @@ def run_correct(opt: CorrectOpt) -> None:
     else:
         cdbg2, colors2 = build_pass2_index(opt, corrected, short_reads, read_ids)
     o2 = _pass_opt(opt, 2)
-    corr2 = Corrector(cdbg2, colors2, o2)
+    corr2 = Corrector(cdbg2, colors2, o2, hap=hap)
     n, bp = correct_file(corr2, o2, pass2_in, final_out, 2,
                          trim_qual=opt.trim_qual)
     _log(opt, f"pass 2: corrected {n} reads / {bp} bases -> {final_out}")
@@ -198,7 +213,7 @@ def run_correct(opt: CorrectOpt) -> None:
 def run_index(opt: CorrectOpt) -> None:
     opt.validate()
     prefix = opt.prefix_filename_out
-    short_reads, read_ids = load_short_reads(opt)
+    short_reads, read_ids, _ = load_short_reads(opt)
     if opt.pass1_only or not opt.pass2_only:
         cdbg, colors = build_pass1_index(opt, short_reads, read_ids)
         path = GIO.index_path(prefix, opt.small_k)
