@@ -77,6 +77,7 @@ def _build_opt(args, index_mode: bool) -> CorrectOpt:
         filenames_long_raw=list(getattr(args, "in_long_raw", [])),
         filename_phase_short=list(getattr(args, "in_short_phase", [])),
         filename_phase_long=list(getattr(args, "in_long_phase", [])),
+        filename_unmapped_in=list(args.in_unmapped_short),
         sampling_rate=args.subsampling,
         nb_threads=args.cores,
         verbose=args.verbose,

@@ -28,6 +28,7 @@ class CorrectOpt:
     filenames_long_raw: List[str] = dataclasses.field(default_factory=list)  # pass-2 raw LRs
     filename_phase_short: List[str] = dataclasses.field(default_factory=list)  # -p TSVs
     filename_phase_long: List[str] = dataclasses.field(default_factory=list)   # -P TSVs
+    filename_unmapped_in: List[str] = dataclasses.field(default_factory=list)  # -u rescue
     prefix_filename_out: str = "ratatosk"
     filename_graph_in: Optional[str] = None   # -g pre-built graph
     filename_data_in: Optional[str] = None    # -d pre-built graph data

@@ -60,6 +60,32 @@ def load_short_reads(opt: CorrectOpt):
     return reads, ids, names
 
 
+def rescue_unmapped(opt: CorrectOpt, short_reads, read_ids, read_names) -> int:
+    """Append `-u` reads whose loci exist in the long reads but not in the
+    mapped short reads (retrieveMissingReads, Graph.cpp:3857-4131;
+    Ratatosk.cpp:1040-1056). Returns how many reads were rescued."""
+    paths = _expand_file_lists(opt.filename_unmapped_in)
+    if not paths:
+        return 0
+    from ratatosk_tpu.graph import rescue as RS
+    unmapped = list(fastx.read_many(paths))
+    lrs = (rec.codes for rec in
+           fastx.read_many(_expand_file_lists(opt.filename_long_in)))
+    idx = RS.find_missing_reads(
+        short_reads, lrs, [u.codes for u in unmapped],
+        k=opt.small_k, min_nb_km_unmapped=opt.min_nb_km_unmapped)
+    next_id = (max(read_ids) + 1) if read_ids else 0
+    name_to_id = {}
+    for j in idx:
+        rec = unmapped[j]
+        cid = name_to_id.setdefault(rec.name, next_id + len(name_to_id))
+        short_reads.append(rec.codes)
+        read_ids.append(cid)
+        read_names.append(rec.name)
+    _log(opt, f"rescued {len(idx)} unmapped short reads (-u)")
+    return len(idx)
+
+
 def load_hap(opt: CorrectOpt, read_ids, read_names):
     """HapReads from -p/-P phasing TSVs, bound to short-read color ids."""
     paths = _expand_file_lists(list(opt.filename_phase_short)
@@ -175,6 +201,7 @@ def run_correct(opt: CorrectOpt) -> None:
                    or not (opt.pass1_only or opt.pass2_only))
     if need_shorts:
         short_reads, read_ids, read_names = load_short_reads(opt)
+        rescue_unmapped(opt, short_reads, read_ids, read_names)
     hap = load_hap(opt, read_ids, read_names)
 
     if not opt.pass2_only:
@@ -213,7 +240,8 @@ def run_correct(opt: CorrectOpt) -> None:
 def run_index(opt: CorrectOpt) -> None:
     opt.validate()
     prefix = opt.prefix_filename_out
-    short_reads, read_ids, _ = load_short_reads(opt)
+    short_reads, read_ids, read_names = load_short_reads(opt)
+    rescue_unmapped(opt, short_reads, read_ids, read_names)
     if opt.pass1_only or not opt.pass2_only:
         cdbg, colors = build_pass1_index(opt, short_reads, read_ids)
         path = GIO.index_path(prefix, opt.small_k)
