@@ -57,11 +57,15 @@ def map_reads_to_unitigs(cdbg: Cdbg, reads: Sequence[np.ndarray]):
 def color_graph(cdbg: Cdbg, reads: Iterable[np.ndarray],
                 read_ids: Optional[Sequence[int]] = None,
                 cap: int = 128, min_cov_edge: int = 2,
+                sampling_rate: float = 1.0,
                 chunk_pairs: int = 1 << 22) -> GraphColors:
     """Stream reads, build color rows + coverage + edge support.
 
     read_ids: color id per read (paired reads share one id, matching the
     reference's paired-read ID sets); defaults to the read's ordinal.
+    sampling_rate < 1 drops color ids Bernoulli-style (reference `-S`,
+    Graph.cpp:2117-2127) — deterministically by id hash, so distributed
+    replicas agree. Coverage still counts every read.
     """
     n = cdbg.n_unitigs
     cov = np.zeros(n, dtype=np.int64)
@@ -92,6 +96,12 @@ def color_graph(cdbg: Cdbg, reads: Iterable[np.ndarray],
         combo = np.unique(np.concatenate(pair_chunks))
     else:
         combo = np.zeros(0, dtype=np.int64)
+    if sampling_rate < 1.0 and combo.size:
+        from ratatosk_tpu.ops import kmers as K
+        rid_all = (combo & np.int64(0xFFFFFFFF)).astype(np.uint64)
+        keep_p = K.splitmix64(rid_all, np) < np.uint64(
+            int(sampling_rate * float(2**64 - 1)))
+        combo = combo[keep_p]
     uid_of = (combo >> 32).astype(np.int64)
     rid_of = (combo & np.int64(0xFFFFFFFF)).astype(np.int32)
     card = np.bincount(uid_of, minlength=n).astype(np.int32)

@@ -48,12 +48,30 @@ def _expand_file_lists(paths: List[str]) -> List[str]:
 
 
 def load_short_reads(opt: CorrectOpt):
-    """Short reads + color ids + names. Mates share a name => share one color
-    id (reference: paired reads must share names, Ratatosk.cpp usage header)."""
+    """Short reads + color ids + names.
+
+    Mates share a name => share one color id (reference: paired reads must
+    share names, Ratatosk.cpp usage header). Duplicate reads (same sequence or
+    its reverse complement) share one color id — the signature-based
+    deduplication of addCoverage phase 2 (Graph.cpp:2089-2136).
+    """
     reads, ids, names = [], [], []
     name_to_id: dict = {}
+    sig_to_id: dict = {}
+    next_id = 0
     for rec in fastx.read_many(_expand_file_lists(opt.filename_seq_in)):
-        cid = name_to_id.setdefault(rec.name, len(name_to_id))
+        fw = rec.codes.tobytes()
+        sig = min(fw, dna.revcomp_codes(rec.codes).tobytes())
+        if rec.name in name_to_id:
+            cid = name_to_id[rec.name]
+        elif sig in sig_to_id:
+            cid = sig_to_id[sig]
+            name_to_id[rec.name] = cid
+        else:
+            cid = next_id
+            next_id += 1
+            name_to_id[rec.name] = cid
+            sig_to_id[sig] = cid
         reads.append(rec.codes)
         ids.append(cid)
         names.append(rec.name)
@@ -112,7 +130,8 @@ def build_pass1_index(opt: CorrectOpt,
               f"({time.time() - t0:.1f}s)")
     colors = color_graph(cdbg, short_reads, read_ids=read_ids,
                          cap=opt.max_cov_vertices,
-                         min_cov_edge=opt.min_cov_vertices)
+                         min_cov_edge=opt.min_cov_vertices,
+                         sampling_rate=opt.sampling_rate)
     return cdbg, colors
 
 
