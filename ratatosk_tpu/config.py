@@ -61,6 +61,7 @@ class CorrectOpt:
     # -- execution --
     nb_threads: int = 1
     verbose: bool = False
+    gzip_out: bool = False         # -G
     force_io_order: bool = False   # -O
     pass1_only: bool = False       # -1
     pass2_only: bool = False       # -2

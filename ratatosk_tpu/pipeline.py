@@ -212,7 +212,7 @@ def run_correct(opt: CorrectOpt) -> None:
     opt.validate()
     prefix = opt.prefix_filename_out
     pass1_out = f"{prefix}.2.fastq"
-    final_out = f"{prefix}.fastq"
+    final_out = f"{prefix}.fastq" + (".gz" if opt.gzip_out else "")
     short_reads = read_ids = read_names = None
     # a prebuilt index (-g) covers the pass it starts; a full two-pass run
     # still needs the short reads to build the other pass's graph
