@@ -74,6 +74,9 @@ class CorrectOpt:
     read_batch_bp: int = 1 << 20  # ~1MB of read data per host batch (Common.hpp:138)
     min_count_kmer: int = 2       # k-mers need >=2 occurrences from reads (Bifrost contract)
     device_index: bool = True     # keep the k-mer index device-resident
+    # pass 2 skips regions whose (pass-1) quality is already maximal
+    # (Correction.cpp:779,808,941); never set for raw sequencer quality
+    skip_max_quality_regions: bool = False
 
     def validate(self) -> None:
         if not (0 < self.small_k <= 32):

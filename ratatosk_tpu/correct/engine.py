@@ -19,6 +19,7 @@ between the best and runner-up candidate path.
 from __future__ import annotations
 
 import dataclasses
+import time as _time
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -133,6 +134,8 @@ class Corrector:
         self.nk = cdbg.nkmers
         self.qv_max = self.opt.max_qual
         self._cur_hap = -1   # haplotype of the read being planned
+        # wall-time breakdown (seconds), for bench/verbose reporting
+        self.timers = {"plan": 0.0, "launch": 0.0, "finish": 0.0}
 
     # ---------- helpers ----------
 
@@ -182,17 +185,24 @@ class Corrector:
 
     # ---------- planning ----------
 
-    def _plan_read(self, ridx: int, codes: np.ndarray, regions: List[RegionSpec]):
+    def _plan_read(self, ridx: int, codes: np.ndarray, regions: List[RegionSpec],
+                   qual: Optional[np.ndarray] = None):
         """Returns list of segments: ('raw'|'solid', a, b) or ('region', idx)
         or ('splice', codes, qual)."""
         k = self.cdbg.k
         L = len(codes)
+        # pass 2 skips spans already corrected at max confidence
+        # (Correction.cpp:779,808,941)
+        self._max_q = qual if (qual is not None
+                               and self.opt.skip_max_quality_regions) else None
         runs = filter_runs_by_color(find_runs(self.cdbg, codes), self.colors)
         if not runs:
             return [("raw", 0, L)]
         segs: list = []
         r0 = runs[0]
-        if r0.s > 0:
+        if r0.s > 0 and self._span_max_quality(0, r0.s):
+            segs.append(("raw", 0, r0.s))
+        elif r0.s > 0:
             # head: correct the reversed prefix from the reversed first anchor
             nk0 = int(self.nk[r0.uid])
             d_h = r0.direction ^ 1
@@ -215,7 +225,9 @@ class Corrector:
             seg = self._plan_gap(ridx, codes, run, nxt, raw_a, raw_b, raw_len, regions)
             segs.append(seg)
         last = runs[-1]
-        if last.e + k < L:
+        if last.e + k < L and self._span_max_quality(last.e + k, L):
+            segs.append(("raw", last.e + k, L))
+        elif last.e + k < L:
             regions.append(RegionSpec(
                 read_idx=ridx, kind="tail", raw_a=last.e + k, raw_b=L,
                 tgt=codes[last.e + k:].astype(np.uint8),
@@ -226,9 +238,18 @@ class Corrector:
             segs.append(("region", len(regions) - 1))
         return segs
 
+    def _span_max_quality(self, a: int, b: int) -> bool:
+        """True when raw span [a,b) is already at max confidence (pass 2)."""
+        q = getattr(self, "_max_q", None)
+        if q is None or b <= a:
+            return False
+        return bool((q[a:b] >= 33 + self.qv_max).all())
+
     def _plan_gap(self, ridx, codes, run, nxt, raw_a, raw_b, raw_len, regions):
         k = self.cdbg.k
         f = self.opt.weak_region_len_factor
+        if self._span_max_quality(raw_a, raw_b):
+            return ("raw", raw_a, raw_b)
         # same-unitig fast path (Correction.cpp:814-858)
         if run.uid == nxt.uid and run.direction == nxt.direction:
             glen = nxt.o_s - run.o_e
@@ -290,6 +311,7 @@ class Corrector:
                 by_bucket.setdefault(nt, []).append((i, mirrored))
             chunk = max(self.opt.batch_regions, 8)
             launched = []
+            t0 = _time.time()
             for nt, items in by_bucket.items():
                 for c0 in range(0, len(items), chunk):
                     part = items[c0:c0 + chunk]
@@ -297,7 +319,9 @@ class Corrector:
                     mirrored = part[0][1]
                     res = self._launch_bucket([regions[i] for i in idxs], nt, mirrored)
                     launched.append((idxs, mirrored, res))
+            self.timers["launch"] += _time.time() - t0
             retry = []
+            t0 = _time.time()
             for idxs, mirrored, res in launched:
                 resnp = {f: np.asarray(getattr(res, f))[:len(idxs)]
                          for f in res._fields}
@@ -306,6 +330,7 @@ class Corrector:
                     ok = self._finish_region(sp, resnp, j, mirrored)
                     if not ok and not mirrored and sp.kind == "gap" and sp.mirror:
                         retry.append((i, True))
+            self.timers["finish"] += _time.time() - t0
             pending = retry
 
     def _finish_region(self, sp: RegionSpec, res, j: int, mirrored: bool) -> bool:
@@ -494,11 +519,15 @@ class Corrector:
                       ) -> List[CorrectedRead]:
         regions: List[RegionSpec] = []
         plans = []
+        t0 = _time.time()
         for i, r in enumerate(reads):
             self._cur_hap = (self.hap.hap_of(names[i])
                              if self.hap is not None and names is not None else -1)
-            plans.append(self._plan_read(i, np.asarray(r, dtype=np.uint8), regions))
+            q = quals[i] if quals is not None else None
+            plans.append(self._plan_read(i, np.asarray(r, dtype=np.uint8),
+                                         regions, qual=q))
         self._cur_hap = -1
+        self.timers["plan"] += _time.time() - t0
         self._execute_regions(regions)
         out = []
         for i, (codes, segs) in enumerate(zip(reads, plans)):

@@ -283,4 +283,5 @@ def _pass_opt(opt: CorrectOpt, pass_no: int) -> CorrectOpt:
     o = _dc.replace(opt)
     if pass_no == 2:
         o.max_len_weak_region1 = opt.max_len_weak_region2
+        o.skip_max_quality_regions = True
     return o
