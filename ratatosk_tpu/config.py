@@ -69,6 +69,8 @@ class CorrectOpt:
 
     # -- TPU-specific knobs (no reference counterpart) --
     beam_width: int = 16          # beam entries per weak region
+    band_width: int = 192         # DP band for long regions (edlib-style);
+                                  # regions <= 256 bp always run exact
     max_beam_steps: int = 48      # max unitig extensions per region
     batch_regions: int = 64       # weak regions scored per device batch
     read_batch_bp: int = 1 << 20  # ~1MB of read data per host batch (Common.hpp:138)

@@ -1,12 +1,18 @@
-"""Device beam search over the unitig graph with carried DP rows.
+"""Device beam search over the unitig graph with banded, carried DP rows.
 
 TPU-native re-expression of the reference's weak-region path enumeration
 (explorePathsBFS/explorePathsBFS2 + exploreSubGraph, GraphTraversal.cpp:3-720)
 and per-step SHW re-anchoring (GraphTraversal.cpp:57-62): instead of a queue
 of variable-length paths each re-aligned from scratch, a fixed-width beam
-advances ONE BASE per step; every beam entry carries the last row of its
-edit-distance DP against the raw region, so each step costs one
-`extend_rows` over the whole batch (ARCHITECTURE.md §6).
+advances ONE BASE per step; every beam entry carries a *band* of the last row
+of its edit-distance DP against the raw region (edlib's banding,
+edlib.h:102-107, reshaped for SPMD), so each step costs one vectorized row
+update over the whole batch (ARCHITECTURE.md §6).
+
+Because every live entry emits exactly one base per step, the band's window
+start is a per-step scalar (ws = clip(i - W/2, 0, NT+1-W)) — window slicing
+is a scalar dynamic_slice, never a per-lane gather. With W >= NT+1 the band
+covers the whole row and the search is exact.
 
 Per step, an entry mid-unitig emits its unitig's next base deterministically;
 an entry at a unitig boundary branches into <=4 successors filtered by
@@ -15,9 +21,10 @@ an entry at a unitig boundary branches into <=4 successors filtered by
   - |colors(successor) ∩ region colors| >= min_cov (GraphTraversal.cpp:485-489).
 All candidates are scored (alignment prefix score + color score, mirroring
 getScorePath's (align+color)/2, GraphTraversal.cpp:860) and the top `beam`
-survive. Entries reaching the right anchor k-mer freeze with their final NW
-distance; dead ends freeze with their prefix distance so open regions keep
-their best partial path.
+survive — selection runs as one-hot matmuls on the MXU (middle-axis gathers
+and scatters serialize on TPU). Entries reaching the right anchor k-mer
+freeze, capturing their NW distance; dead ends and over-length paths freeze
+capturing their prefix distance, so open regions keep their best partial path.
 
 Everything is static-shape: regions are bucketed by padded target length NT,
 path budget LMAX ~= 1.25*NT (the reference's +-25% length window,
@@ -33,10 +40,10 @@ import jax
 import jax.numpy as jnp
 
 from ratatosk_tpu.correct.graphdev import DeviceGraph
-from ratatosk_tpu.ops import align as A
 from ratatosk_tpu.ops import colorset as CS
 
 NEG = jnp.float32(-1e9)
+BIG = jnp.int32(1 << 20)
 _CAPC = 16  # color-count saturation for the color score
 
 
@@ -59,10 +66,12 @@ class BeamState(NamedTuple):
     off: jnp.ndarray     # int32 [R, B]
     plen: jnp.ndarray    # int32 [R, B]
     seq: jnp.ndarray     # uint8 [R, B, L]
-    row: jnp.ndarray     # int32 [R, B, NT+1]
+    rwin: jnp.ndarray    # int32 [R, B, W] DP-row band at window ws(step)
     live: jnp.ndarray    # bool [R, B] slot holds a real path
-    frozen: jnp.ndarray  # bool [R, B] stopped (completed or dead end)
+    frozen: jnp.ndarray  # bool [R, B] stopped (completed/dead end/over budget)
     compl_: jnp.ndarray  # bool [R, B] reached the right anchor
+    fdist: jnp.ndarray   # int32 [R, B] distance captured at freeze time
+    fend: jnp.ndarray    # int32 [R, B] target end column captured at freeze
     ccsum: jnp.ndarray   # float32 [R, B] accumulated color score
     nvis: jnp.ndarray    # int32 [R, B] unitigs entered
 
@@ -71,32 +80,38 @@ class BeamResult(NamedTuple):
     best_seq: jnp.ndarray     # uint8 [R, L] 2-bit codes of the winning path
     best_len: jnp.ndarray     # int32 [R]
     best_dist: jnp.ndarray    # int32 [R] NW distance (closed) / prefix distance
-    best_end: jnp.ndarray     # int32 [R] target prefix consumed (open regions)
+    best_end: jnp.ndarray     # int32 [R] target prefix consumed
     second_dist: jnp.ndarray  # int32 [R] runner-up distance (quality margin)
     completed: jnp.ndarray    # bool [R] a path reached the right anchor
     n_done: jnp.ndarray       # int32 [R]
 
 
-def _entry_scores(row, plen, compl_, tgt_len, ccsum, nvis):
-    """Score [R,B]: completed -> NW score, else prefix score; +color mean."""
-    dist_pref, _, _ = A.best_prefix_from_row(
-        row.reshape(-1, row.shape[-1]), tgt_len.reshape(-1))
-    dist_pref = dist_pref.reshape(row.shape[:-1])
-    dist_nw = jnp.take_along_axis(row, tgt_len[..., None].astype(jnp.int32), axis=-1)[..., 0]
-    align = jnp.where(
-        compl_,
-        1.0 - dist_nw.astype(jnp.float32) / jnp.maximum(tgt_len, 1).astype(jnp.float32),
-        1.0 - dist_pref.astype(jnp.float32) / jnp.maximum(plen, 1).astype(jnp.float32),
-    )
-    color = ccsum / jnp.maximum(nvis, 1).astype(jnp.float32)
-    return 0.5 * jnp.clip(align, -1.0, 1.0) + 0.5 * color, dist_pref, dist_nw
+def _window_start(i, nt1: int, w: int):
+    """Band start column at step i (scalar, shared by every live entry)."""
+    if w >= nt1:
+        return jnp.int32(0)
+    return jnp.clip(i - w // 2, 0, nt1 - w).astype(jnp.int32)
 
 
-def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, min_cov: int):
+def _band_dists(row, cols, tgt_len):
+    """(dist_pref, end_max, dist_nw) over a band. row [..., W], cols [..., W]
+    absolute columns, tgt_len broadcastable to row[..., 0]."""
+    tl = tgt_len[..., None]
+    valid = cols <= tl
+    masked = jnp.where(valid, row, BIG)
+    dist_pref = jnp.min(masked, axis=-1)
+    is_min = masked == dist_pref[..., None]
+    end_max = jnp.max(jnp.where(is_min, cols, -1), axis=-1)
+    dist_nw = jnp.min(jnp.where(cols == tl, row, BIG), axis=-1)
+    return dist_pref, end_max, dist_nw
+
+
+def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
     R, B = st.tip.shape
     L = st.seq.shape[-1]
+    W = st.rwin.shape[-1]
+    nt1 = rb.tgt_masks.shape[-1] + 1
     k = g.k
-    n1 = st.row.shape[-1]
 
     uid = jnp.maximum(st.tip >> 1, 0)
     d = st.tip & 1
@@ -146,15 +161,38 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, min_cov: int):
         & (cand_tip == rb.end_tip[:, None, None])
         & (cand_off == rb.end_off[:, None, None]))
 
-    # DP row extension for emitting candidates (4-bit mask of base c)
-    base_mask = (jnp.int32(1) << cidx).astype(jnp.int32)       # [1,1,4]
-    flat_row = jnp.broadcast_to(st.row[:, :, None, :], (R, B, 4, n1)).reshape(-1, n1)
-    flat_mask = jnp.broadcast_to(base_mask, (R, B, 4)).reshape(-1)
-    flat_tgt = jnp.broadcast_to(rb.tgt_masks[:, None, None, :],
-                                (R, B, 4, n1 - 1)).reshape(-1, n1 - 1)
-    flat_plen = cand_plen.reshape(-1)
-    new_row = A.extend_rows(flat_row, flat_mask, flat_tgt, flat_plen).reshape(R, B, 4, n1)
-    cand_row = jnp.where(emits[..., None], new_row, st.row[:, :, None, :])
+    # --- banded DP row update ---
+    # every live entry has plen == i, so the band window start is a shared scalar;
+    # new row i+1 sits at window ws(i+1), shifted by delta in {0,1} vs ws(i)
+    ws = _window_start(i, nt1, W)
+    ws_next = _window_start(i + 1, nt1, W)
+    delta = ws_next - ws
+    cols = ws_next + jnp.arange(W, dtype=jnp.int32)          # [W] absolute j
+    # target mask for column j lives at tgt_masks[j-1]; pad col 0 with 0
+    padded_tgt = jnp.pad(rb.tgt_masks, ((0, 0), (1, 0)))
+    bslice = jax.lax.dynamic_slice_in_dim(padded_tgt, ws_next, W, axis=1)
+
+    shiftL = jnp.concatenate([st.rwin[..., 1:],
+                              jnp.full_like(st.rwin[..., :1], BIG)], axis=-1)
+    shiftR = jnp.concatenate([jnp.full_like(st.rwin[..., :1], BIG),
+                              st.rwin[..., :-1]], axis=-1)
+    prev_j = jnp.where(delta == 1, shiftL, st.rwin)          # prev row at col j
+    prev_jm1 = jnp.where(delta == 1, st.rwin, shiftR)        # prev row at j-1
+
+    base_mask = (jnp.int32(1) << cidx).astype(jnp.int32)     # [1,1,4]
+    sub = ((base_mask[..., None] & bslice[:, None, None, :].astype(jnp.int32))
+           == 0).astype(jnp.int32)                           # [R,B,4,W]
+    dmat = jnp.minimum(prev_jm1[:, :, None, :] + sub,
+                       prev_j[:, :, None, :] + 1)
+    dmat = jnp.where(cols[None, None, None, :] == 0,
+                     cand_plen[..., None], dmat)
+    dmat = jnp.minimum(dmat, BIG)
+    emat = dmat - cols[None, None, None, :]
+    new_rwin = cols[None, None, None, :] + jax.lax.cummin(emat, axis=3)
+    new_rwin = jnp.minimum(new_rwin, BIG)
+    # frozen/keep candidates retain the old window (their captured scalars
+    # carry the answer; the stale window is never read again)
+    cand_rwin = jnp.where(emits[..., None], new_rwin, st.rwin[:, :, None, :])
 
     # newly-frozen: completed, dead end, or path length budget exhausted
     over = cand_plen >= rb.max_plen[:, None, None]
@@ -162,19 +200,30 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, min_cov: int):
                    | (no_succ[..., None] & keep))
 
     tl = jnp.broadcast_to(rb.tgt_len[:, None, None], (R, B, 4))
-    score, _, _ = _entry_scores(cand_row, cand_plen, cand_compl, tl,
-                                cand_ccsum, cand_nvis)
+    cols4 = jnp.broadcast_to(cols[None, None, None, :], (R, B, 4, W))
+    dist_pref, end_max, dist_nw = _band_dists(cand_rwin, cols4, tl)
+
+    newly = cand_frozen & ~st.frozen[..., None]
+    cand_fdist = jnp.where(newly,
+                           jnp.where(cand_compl, dist_nw, dist_pref),
+                           st.fdist[..., None])
+    cand_fend = jnp.where(newly,
+                          jnp.where(cand_compl, tl, end_max),
+                          st.fend[..., None])
+
+    # scores: frozen entries use their captured distance; live use the prefix
+    eff_dist = jnp.where(cand_frozen, cand_fdist, dist_pref)
+    denom = jnp.where(cand_compl, tl, jnp.maximum(cand_plen, 1))
+    align = 1.0 - eff_dist.astype(jnp.float32) / jnp.maximum(denom, 1).astype(jnp.float32)
+    color = cand_ccsum / jnp.maximum(cand_nvis, 1).astype(jnp.float32)
+    score = 0.5 * jnp.clip(align, -1.0, 1.0) + 0.5 * color
     score = jnp.where(valid, score, NEG)
 
     # --- top-`beam` selection as one-hot matmuls (MXU) ---
-    # take_along_axis over a middle axis and element scatters serialize on
-    # TPU (~1ms each); a [R,B,C] one-hot times a [R,C,F] feature tensor is a
-    # small batched matmul instead. One-hot rows are exactly 1.0 and every
-    # carried value is < 2^24, so the f32 contraction is exact.
     C = B * 4
     fscore = score.reshape(R, C)
-    _, sel = jax.lax.top_k(fscore, B)                      # [R, B]
-    P = jax.nn.one_hot(sel, C, dtype=jnp.float32)          # [R, B, C]
+    _, sel = jax.lax.top_k(fscore, B)                        # [R, B]
+    P = jax.nn.one_hot(sel, C, dtype=jnp.float32)            # [R, B, C]
 
     scalars = jnp.stack([
         cand_tip.astype(jnp.float32),
@@ -185,10 +234,11 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, min_cov: int):
         cand_ccsum,
         cand_nvis.astype(jnp.float32),
         emits.astype(jnp.float32),
-        (cand_tip & 3).astype(jnp.float32) * 0,  # pad to 9 for alignment
-    ], axis=-1).reshape(R, C, 9)
-    feat = jnp.concatenate([scalars, cand_row.astype(jnp.float32).reshape(R, C, n1)],
-                           axis=-1)                        # [R, C, 9+n1]
+        cand_fdist.astype(jnp.float32),
+        cand_fend.astype(jnp.float32),
+    ], axis=-1).reshape(R, C, 10)
+    feat = jnp.concatenate(
+        [scalars, cand_rwin.astype(jnp.float32).reshape(R, C, W)], axis=-1)
     selected = jnp.einsum("rbc,rcf->rbf", P, feat,
                           preferred_element_type=jnp.float32)
     new_tip = selected[..., 0].astype(jnp.int32)
@@ -199,12 +249,14 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, min_cov: int):
     new_ccsum = selected[..., 5]
     new_nvis = selected[..., 6].astype(jnp.int32)
     sel_emit = selected[..., 7] > 0.5
-    new_row = selected[..., 9:].astype(jnp.int32)
+    new_fdist = selected[..., 8].astype(jnp.int32)
+    new_fend = selected[..., 9].astype(jnp.int32)
+    new_rwin_sel = selected[..., 10:].astype(jnp.int32)
     new_live = jnp.take_along_axis(fscore, sel, axis=1) > NEG / 2
 
     # sequences: parent one-hot matmul, then write the emitted base (the
     # candidate's slot index sel&3) at column plen-1 via an iota mask
-    Pp = jax.nn.one_hot(sel >> 2, B, dtype=jnp.float32)    # [R, B, B]
+    Pp = jax.nn.one_hot(sel >> 2, B, dtype=jnp.float32)      # [R, B, B]
     seq_par = jnp.einsum("rbp,rpl->rbl", Pp, st.seq.astype(jnp.float32),
                          preferred_element_type=jnp.float32)
     sel_c = (sel & 3).astype(jnp.float32)
@@ -214,27 +266,34 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, min_cov: int):
 
     return BeamState(
         tip=new_tip, off=new_off, plen=new_plen,
-        seq=seq_new, row=new_row,
+        seq=seq_new, rwin=new_rwin_sel,
         live=new_live, frozen=new_frozen, compl_=new_compl,
+        fdist=new_fdist, fend=new_fend,
         ccsum=new_ccsum, nvis=new_nvis,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("beam", "lmax", "min_cov"))
+@functools.partial(jax.jit, static_argnames=("beam", "lmax", "min_cov", "band"))
 def beam_search(g: DeviceGraph, rb: RegionBatch, *, beam: int, lmax: int,
-                min_cov: int = 2) -> BeamResult:
+                min_cov: int = 2, band: int = 0) -> BeamResult:
+    """band=0 (or >= NT+1) means exact full-row DP; otherwise a W-wide band."""
     R, NT = rb.tgt_masks.shape
+    W = NT + 1 if band <= 0 or band >= NT + 1 else band
     slot0 = jnp.broadcast_to(jnp.arange(beam)[None, :] == 0, (R, beam))
+    # initial window at ws(0)=0: row 0 is E[0][j] = j (NW boundary)
+    rwin0 = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, None, :],
+                             (R, beam, W))
     st = BeamState(
         tip=jnp.where(slot0, rb.start_tip[:, None], -1).astype(jnp.int32),
         off=jnp.broadcast_to(rb.start_off[:, None], (R, beam)).astype(jnp.int32),
         plen=jnp.zeros((R, beam), jnp.int32),
         seq=jnp.zeros((R, beam, lmax), jnp.uint8),
-        row=jnp.broadcast_to(A.row_init(1, NT, A.NW)[0][None, None, :],
-                             (R, beam, NT + 1)).astype(jnp.int32),
+        rwin=rwin0,
         live=slot0,
         frozen=jnp.zeros((R, beam), bool),
         compl_=jnp.zeros((R, beam), bool),
+        fdist=jnp.full((R, beam), BIG, jnp.int32),
+        fend=jnp.zeros((R, beam), jnp.int32),
         ccsum=jnp.zeros((R, beam), jnp.float32),
         nvis=jnp.zeros((R, beam), jnp.int32),
     )
@@ -247,13 +306,10 @@ def beam_search(g: DeviceGraph, rb: RegionBatch, *, beam: int, lmax: int,
 
     def body(carry):
         i, s = carry
-        return i + 1, _beam_step(g, rb, s, min_cov)
+        return i + 1, _beam_step(g, rb, s, i, min_cov)
 
     _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
 
-    tlb = jnp.broadcast_to(rb.tgt_len[:, None], st.plen.shape)
-    score, dist_pref, dist_nw = _entry_scores(st.row, st.plen, st.compl_, tlb,
-                                              st.ccsum, st.nvis)
     is_open = rb.end_tip < 0
     # closed regions rank completed paths; if none completed, fall back to the
     # best partial path (the engine merges fw/bw partials, generateConsensus-
@@ -261,20 +317,22 @@ def beam_search(g: DeviceGraph, rb: RegionBatch, *, beam: int, lmax: int,
     has_compl = (st.live & st.compl_).any(axis=1)
     eligible = jnp.where(is_open[:, None] | ~has_compl[:, None],
                          st.live, st.live & st.compl_)
+    denom = jnp.where(st.compl_, rb.tgt_len[:, None], jnp.maximum(st.plen, 1))
+    align = 1.0 - st.fdist.astype(jnp.float32) / jnp.maximum(denom, 1).astype(jnp.float32)
+    color = st.ccsum / jnp.maximum(st.nvis, 1).astype(jnp.float32)
+    score = 0.5 * jnp.clip(align, -1.0, 1.0) + 0.5 * color
     escore = jnp.where(eligible, score, NEG)
     order = jnp.argsort(-escore, axis=1)
     b0 = order[:, 0]
     b1 = order[:, jnp.minimum(1, escore.shape[1] - 1)]
     ar = jnp.arange(R)
-    any_ok = eligible[ar, b0]
-    dist = jnp.where(is_open[:, None], dist_pref, dist_nw)
-    _, end_max, _ = A.best_prefix_from_row(st.row[ar, b0], rb.tgt_len)
-    second = jnp.where(eligible[ar, b1] & (b1 != b0), dist[ar, b1], jnp.int32(1 << 20))
+    any_ok = eligible[ar, b0] & (st.fdist[ar, b0] < BIG)
+    second = jnp.where(eligible[ar, b1] & (b1 != b0), st.fdist[ar, b1], BIG)
     return BeamResult(
         best_seq=st.seq[ar, b0],
         best_len=jnp.where(any_ok, st.plen[ar, b0], 0),
-        best_dist=jnp.where(any_ok, dist[ar, b0], jnp.int32(1 << 20)),
-        best_end=jnp.where(any_ok, end_max, 0),
+        best_dist=jnp.where(any_ok, st.fdist[ar, b0], BIG),
+        best_end=jnp.where(any_ok, st.fend[ar, b0], 0),
         second_dist=second,
         completed=st.compl_[ar, b0] & any_ok,
         n_done=(st.live & st.compl_).sum(axis=1).astype(jnp.int32),

@@ -293,8 +293,9 @@ class Corrector:
         rb, lmax = make_region_batch(
             specs, nt, self.colors.cap, mirrored=mirrored, r_pad=Rp,
             len_factor=self.opt.weak_region_len_factor)
+        band = 0 if nt <= 256 else self.opt.band_width
         return BM.beam_search(self.g, rb, beam=self.opt.beam_width, lmax=lmax,
-                              min_cov=self.opt.min_cov_vertices)
+                              min_cov=self.opt.min_cov_vertices, band=band)
 
     def _execute_regions(self, regions: List[RegionSpec]):
         # forward pass, bucketed by target length; all bucket batches are
