@@ -285,7 +285,8 @@ class Corrector:
 
     # ---------- device execution ----------
 
-    def _launch_bucket(self, specs: List[RegionSpec], nt: int, mirrored: bool):
+    def _launch_bucket(self, specs: List[RegionSpec], nt: int, mirrored: bool,
+                       beam: Optional[int] = None):
         # two padded batch shapes per bucket (8 / batch_regions) so jit
         # compiles at most twice per target-length bucket
         R = len(specs)
@@ -294,47 +295,58 @@ class Corrector:
             specs, nt, self.colors.cap, mirrored=mirrored, r_pad=Rp,
             len_factor=self.opt.weak_region_len_factor)
         band = 0 if nt <= 256 else self.opt.band_width
-        return BM.beam_search(self.g, rb, beam=self.opt.beam_width, lmax=lmax,
-                              min_cov=self.opt.min_cov_vertices, band=band)
+        return BM.beam_search(self.g, rb, beam=beam or self.opt.beam_width,
+                              lmax=lmax, min_cov=self.opt.min_cov_vertices,
+                              band=band)
 
     def _execute_regions(self, regions: List[RegionSpec]):
         # forward pass, bucketed by target length; all bucket batches are
         # dispatched asynchronously before any result is read back, so the
-        # device pipelines across buckets
-        pending = [(i, False) for i in range(len(regions))]
+        # device pipelines across buckets. Failed forward gaps retry backward
+        # (Correction.cpp:880); with -r > 1, still-failed gaps retry at a
+        # doubled beam width per round (the reference's staged relaxation,
+        # Ratatosk.cpp:847-865) before falling back to the partial consensus.
+        rounds = max(self.opt.nb_correction_rounds, 1)
+        pending = [(i, False, 1) for i in range(len(regions))]
         while pending:
             by_bucket: dict = {}
-            for i, mirrored in pending:
+            for i, mirrored, rnd in pending:
                 ln = len(regions[i].tgt)
                 nt = next((b for b in BUCKETS if ln <= b), None)
                 if nt is None:
                     continue
-                by_bucket.setdefault(nt, []).append((i, mirrored))
+                by_bucket.setdefault((nt, mirrored, rnd), []).append(i)
             chunk = max(self.opt.batch_regions, 8)
             launched = []
             t0 = _time.time()
-            for nt, items in by_bucket.items():
+            for (nt, mirrored, rnd), items in by_bucket.items():
+                beam = self.opt.beam_width * (1 << (rnd - 1))
                 for c0 in range(0, len(items), chunk):
-                    part = items[c0:c0 + chunk]
-                    idxs = [i for i, _ in part]
-                    mirrored = part[0][1]
-                    res = self._launch_bucket([regions[i] for i in idxs], nt, mirrored)
-                    launched.append((idxs, mirrored, res))
+                    idxs = items[c0:c0 + chunk]
+                    res = self._launch_bucket([regions[i] for i in idxs], nt,
+                                              mirrored, beam=beam)
+                    launched.append((idxs, mirrored, rnd, res))
             self.timers["launch"] += _time.time() - t0
             retry = []
             t0 = _time.time()
-            for idxs, mirrored, res in launched:
+            for idxs, mirrored, rnd, res in launched:
                 resnp = {f: np.asarray(getattr(res, f))[:len(idxs)]
                          for f in res._fields}
                 for j, i in enumerate(idxs):
                     sp = regions[i]
-                    ok = self._finish_region(sp, resnp, j, mirrored)
-                    if not ok and not mirrored and sp.kind == "gap" and sp.mirror:
-                        retry.append((i, True))
+                    final = mirrored and rnd >= rounds
+                    ok = self._finish_region(sp, resnp, j, mirrored, final)
+                    if ok or sp.kind != "gap" or not sp.mirror:
+                        continue
+                    if not mirrored:
+                        retry.append((i, True, rnd))
+                    elif rnd < rounds:
+                        retry.append((i, False, rnd + 1))
             self.timers["finish"] += _time.time() - t0
             pending = retry
 
-    def _finish_region(self, sp: RegionSpec, res, j: int, mirrored: bool) -> bool:
+    def _finish_region(self, sp: RegionSpec, res, j: int, mirrored: bool,
+                       final: bool = True) -> bool:
         k = self.cdbg.k
         n = len(sp.tgt)
         blen = int(res["best_len"][j])
@@ -346,7 +358,7 @@ class Corrector:
         if sp.kind == "gap":
             if not bool(res["completed"][j]) or blen == 0 or s1 < 0.0:
                 self._record_partial(sp, seq, res, j, mirrored)
-                if mirrored:
+                if mirrored and final:
                     return self._merge_partials(sp)
                 return False
             if mirrored:
@@ -384,6 +396,9 @@ class Corrector:
         if s < 0.25:
             return
         part = (seq[:jend].copy(), end, s)
+        prev = sp.partial_bw if mirrored else sp.partial_fw
+        if prev is not None and (prev[1], prev[2]) >= (end, s):
+            return  # keep the better partial across retry rounds
         if mirrored:
             sp.partial_bw = part
         else:
