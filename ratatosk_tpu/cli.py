@@ -49,6 +49,7 @@ def _add_common(p: argparse.ArgumentParser, correct_mode: bool) -> None:
         p.add_argument("-m", "--min-conf-snp-corr", type=float, default=0.9)
         p.add_argument("-w", "--max-len-weak1", type=int, default=1000)
         p.add_argument("-W", "--max-len-weak2", type=int, default=5000)
+        p.add_argument("-r", "--correction-rounds", type=int, default=1)
         p.add_argument("-L", "--in-long-raw", action="append", default=[])
         p.add_argument("-p", "--in-short-phase", action="append", default=[])
         p.add_argument("-P", "--in-long-phase", action="append", default=[])
@@ -79,6 +80,7 @@ def _build_opt(args, index_mode: bool) -> CorrectOpt:
         filename_phase_long=list(getattr(args, "in_long_phase", [])),
         filename_unmapped_in=list(args.in_unmapped_short),
         sampling_rate=args.subsampling,
+        nb_correction_rounds=getattr(args, "correction_rounds", 1),
         nb_threads=args.cores,
         verbose=args.verbose,
         gzip_out=getattr(args, "gzip_out", False),
