@@ -72,7 +72,7 @@ class CorrectOpt:
     band_width: int = 192         # DP band for long regions (edlib-style);
                                   # regions <= 256 bp always run exact
     max_beam_steps: int = 48      # max unitig extensions per region
-    batch_regions: int = 64       # weak regions scored per device batch
+    batch_regions: int = 512      # weak regions scored per device batch
     read_batch_bp: int = 1 << 20  # ~1MB of read data per host batch (Common.hpp:138)
     min_count_kmer: int = 2       # k-mers need >=2 occurrences from reads (Bifrost contract)
     device_index: bool = True     # keep the k-mer index device-resident

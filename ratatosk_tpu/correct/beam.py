@@ -56,7 +56,7 @@ class RegionBatch(NamedTuple):
     start_off: jnp.ndarray   # int32 [R] next oriented base to emit
     end_tip: jnp.ndarray     # int32 [R] right anchor tip, -1 = open region
     end_off: jnp.ndarray     # int32 [R] `off` value that completes the region
-    colors: jnp.ndarray      # int32 [R, CC] sorted padded region color set
+    colors_sig: jnp.ndarray  # int8 [R, SIG_BINS] hashed region color signature
     max_plen: jnp.ndarray    # int32 [R] path length budget (+-25% window,
                              # getMinMaxLength, Common.hpp:435-438)
 
@@ -126,12 +126,13 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
     nb = g.useq[g.uoff[uid] + pos.astype(g.uoff.dtype)].astype(jnp.int32)
     nb = jnp.where(d == 0, nb, 3 - nb)
 
-    # branch candidates: successors of (uid, leaving strand = direction)
+    # branch candidates: successors of (uid, leaving strand = direction);
+    # color sharing via hashed-signature dot (MXU) instead of id searches
     e = g.edges[uid, d]                    # [R, B, 4]
     esup = g.edge_support[uid, d]          # [R, B, 4]
     cand_uid = jnp.maximum(e >> 1, 0)
-    ccols = g.color_rows[cand_uid]         # [R, B, 4, cap]
-    shared = CS.intersect_count_dense(ccols, rb.colors[:, None, None, :], jnp)
+    csig = g.color_sig[cand_uid]           # [R, B, 4, H] int8
+    shared = CS.intersect_count_sig(csig, rb.colors_sig[:, None, None, :], jnp)
     branch_ok = (e >= 0) & esup & (shared >= min_cov) & at_bound[..., None]
 
     cidx = jnp.arange(4, dtype=jnp.int32)[None, None, :]

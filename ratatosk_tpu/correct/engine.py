@@ -73,7 +73,8 @@ def make_region_batch(specs: List["RegionSpec"], nt: int, color_cap: int, *,
         tgt_masks=jnp.asarray(tgt_masks), tgt_len=jnp.asarray(tgt_len),
         start_tip=jnp.asarray(start_tip), start_off=jnp.asarray(start_off),
         end_tip=jnp.asarray(end_tip), end_off=jnp.asarray(end_off),
-        colors=jnp.asarray(colors), max_plen=jnp.asarray(max_plen))
+        colors_sig=jnp.asarray(CS.color_signature(colors)),
+        max_plen=jnp.asarray(max_plen))
     return rb, lmax
 
 
@@ -113,10 +114,19 @@ class CorrectedRead:
     n_solid: int
     n_regions: int
     n_corrected: int
+    # 4-bit IUPAC masks at ambiguous sites (0 = concrete base). Unresolved
+    # heterozygous SNPs surface as ambiguity characters in the output, as in
+    # the reference (fixAmbiguity, Alignment.cpp:527-844).
+    iupac: Optional[np.ndarray] = None
 
     @property
     def seq(self) -> str:
-        return dna.decode(self.codes)
+        if self.iupac is None or not self.iupac.any():
+            return dna.decode(self.codes)
+        chars = np.frombuffer(dna.decode(self.codes).encode(), np.uint8).copy()
+        amb = self.iupac != 0
+        chars[amb] = dna.IUPAC_CHARS[self.iupac[amb] & 15]
+        return chars.tobytes().decode()
 
     @property
     def qual_str(self) -> str:
@@ -289,8 +299,11 @@ class Corrector:
                        beam: Optional[int] = None):
         # two padded batch shapes per bucket (8 / batch_regions) so jit
         # compiles at most twice per target-length bucket
+        # pad to a coarse grid {8, 64, batch_regions} so jit compiles at most
+        # three batch shapes per bucket
         R = len(specs)
-        Rp = 8 if R <= 8 else max(self.opt.batch_regions, 1 << int(np.ceil(np.log2(R))))
+        Rp = 8 if R <= 8 else (64 if R <= 64 else max(
+            self.opt.batch_regions, 1 << int(np.ceil(np.log2(R)))))
         rb, lmax = make_region_batch(
             specs, nt, self.colors.cap, mirrored=mirrored, r_pad=Rp,
             len_factor=self.opt.weak_region_len_factor)
@@ -321,6 +334,10 @@ class Corrector:
             t0 = _time.time()
             for (nt, mirrored, rnd), items in by_bucket.items():
                 beam = self.opt.beam_width * (1 << (rnd - 1))
+                # sort by target length: the while_loop exits when every entry
+                # is frozen, so homogeneous chunks stop at ~1.25x their own
+                # longest region instead of the bucket's worst case
+                items.sort(key=lambda i: len(regions[i].tgt))
                 for c0 in range(0, len(items), chunk):
                     idxs = items[c0:c0 + chunk]
                     res = self._launch_bucket([regions[i] for i in idxs], nt,

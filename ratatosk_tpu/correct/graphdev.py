@@ -17,6 +17,7 @@ import numpy as np
 
 from ratatosk_tpu.graph.build import Cdbg
 from ratatosk_tpu.graph.colors import GraphColors
+from ratatosk_tpu.ops import colorset as CS
 from ratatosk_tpu.ops.kmer_index import KmerIndex
 
 
@@ -31,6 +32,7 @@ class DeviceGraph:
     edges: jnp.ndarray        # int32 [N, 2, 4] packed (v<<1|dir) or -1
     edge_support: jnp.ndarray # bool [N, 2, 4]
     color_rows: jnp.ndarray   # int32 [N, cap] sorted, PAD padded
+    color_sig: jnp.ndarray    # int8 [N, SIG_BINS] hashed color indicator
     color_card: jnp.ndarray   # int32 [N]
     coverage: jnp.ndarray     # int64 [N]
     keys_lo: jnp.ndarray      # uint64 [M]
@@ -41,7 +43,8 @@ class DeviceGraph:
 
     def tree_flatten(self):
         children = (self.useq, self.uoff, self.ulen, self.edges,
-                    self.edge_support, self.color_rows, self.color_card,
+                    self.edge_support, self.color_rows, self.color_sig,
+                    self.color_card,
                     self.coverage, self.keys_lo, self.keys_hi,
                     self.kidx_uid, self.kidx_pos, self.kidx_strand)
         return children, (self.k, self.color_cap)
@@ -70,6 +73,7 @@ class DeviceGraph:
             edges=put(cdbg.edges),
             edge_support=put(colors.edge_support),
             color_rows=put(colors.rows),
+            color_sig=put(CS.color_signature(colors.rows)),
             color_card=put(colors.card),
             coverage=put(colors.coverage),
             keys_lo=put(np.asarray(cdbg.index.keys_lo)),

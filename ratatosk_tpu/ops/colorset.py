@@ -56,6 +56,37 @@ def intersect_count(a, b, xp):
     return contains_rows(b, a, xp).sum(axis=-1).astype(xp.int32)
 
 
+SIG_BINS = 512
+
+
+def color_signature(rows: np.ndarray, bins: int = SIG_BINS) -> np.ndarray:
+    """Hashed indicator signature of padded color rows: int8 [..., bins].
+
+    sig[..., splitmix64(id) % bins] = 1 for each non-PAD id. Intersection
+    cardinality is then a dot product of signatures — MXU work instead of
+    per-lane searches in the beam inner loop. Counts are approximate upper
+    bounds (ids colliding into one bin count once; unrelated sets overlap a
+    bin with ~|A||B|/bins expectation), which is accurate enough for the
+    >= min_cov edge filter (GraphTraversal.cpp:485-489).
+    """
+    from ratatosk_tpu.ops.kmers import splitmix64
+    flat = rows.reshape(-1, rows.shape[-1])
+    sig = np.zeros((flat.shape[0], bins), dtype=np.int8)
+    valid = flat != PAD
+    h = (splitmix64(flat.astype(np.uint64), np) % np.uint64(bins)).astype(np.int64)
+    rid = np.broadcast_to(np.arange(flat.shape[0])[:, None], flat.shape)
+    sig[rid[valid], h[valid]] = 1
+    return sig.reshape(rows.shape[:-1] + (bins,))
+
+
+def intersect_count_sig(sig_a, sig_b, xp):
+    """~|A ∩ B| from signatures: batched int8 dot -> int32 (MXU-friendly).
+
+    sig_a [..., H], sig_b broadcastable [..., H].
+    """
+    return xp.sum(sig_a.astype(xp.int32) * sig_b.astype(xp.int32), axis=-1)
+
+
 def intersect_count_dense(a, b, xp):
     """|A ∩ B| via the full equality matrix — the TPU inner-loop variant.
 
