@@ -84,6 +84,7 @@ def _build_opt(args, index_mode: bool) -> CorrectOpt:
         nb_threads=args.cores,
         verbose=args.verbose,
         gzip_out=getattr(args, "gzip_out", False),
+        no_snp_correction=args.no_snp_correction,
         force_io_order=getattr(args, "force_io_order", False),
         pass1_only=args.pass1_only,
         pass2_only=args.pass2_only,

@@ -57,6 +57,7 @@ class CorrectOpt:
     min_confidence_snp_corr: float = 0.9
     min_confidence_2nd_pass: float = 0.0
     min_nb_km_unmapped: int = 31       # -u missing-read rescue threshold
+    no_snp_correction: bool = False    # -F: disable SNP detection/handling
 
     # -- execution --
     nb_threads: int = 1

@@ -135,11 +135,12 @@ class CorrectedRead:
 
 class Corrector:
     def __init__(self, cdbg: Cdbg, colors: GraphColors,
-                 opt: Optional[CorrectOpt] = None, hap=None):
+                 opt: Optional[CorrectOpt] = None, hap=None, snps=None):
         self.cdbg = cdbg
         self.colors = colors
         self.opt = opt or CorrectOpt()
         self.hap = hap   # graph.phasing.HapReads or None
+        self.snps = snps  # graph.snp.SnpAnnotations or None
         self.g = DeviceGraph.from_host(cdbg, colors)
         self.nk = cdbg.nkmers
         self.qv_max = self.opt.max_qual
@@ -248,6 +249,37 @@ class Corrector:
             segs.append(("region", len(regions) - 1))
         return segs
 
+    def _splice_iupac(self, run, splice: np.ndarray, tgt: np.ndarray,
+                      k: int) -> Optional[np.ndarray]:
+        """IUPAC masks for annotated SNP sites inside a same-unitig splice.
+
+        fixAmbiguity-style (Alignment.cpp:527-844, simplified): at a
+        graph-annotated het site, if the raw read carries the *other* allele,
+        emit the ambiguity code instead of silently overwriting it.
+        """
+        if self.snps is None or len(splice) != len(tgt):
+            return None
+        pos_f, masks = self.snps.sites_for(run.uid)
+        if len(pos_f) == 0:
+            return None
+        ul = int(self.cdbg.ulen[run.uid])
+        lo = run.o_e + k            # oriented coords of the splice start
+        iu = None
+        for p, m in zip(pos_f, masks):
+            po = int(p) if run.direction == 0 else ul - 1 - int(p)
+            mo = int(m) if run.direction == 0 else dna.revcomp_mask(int(m))
+            j = po - lo
+            if not (0 <= j < len(splice)):
+                continue
+            raw_b = int(tgt[j])
+            if raw_b >= 4 or raw_b == int(splice[j]):
+                continue
+            if dna._CODE_TO_MASK[raw_b] & mo:
+                if iu is None:
+                    iu = np.zeros(len(splice), dtype=np.uint8)
+                iu[j] = mo
+        return iu
+
     def _span_max_quality(self, a: int, b: int) -> bool:
         """True when raw span [a,b) is already at max confidence (pass 2)."""
         q = getattr(self, "_max_q", None)
@@ -274,7 +306,8 @@ class Corrector:
                     dist = int(CG.dp_matrix(m, dna.codes_to_masks(tgt), CG.NW)[-1, -1])
                 s1 = 1.0 - dist / max(len(tgt), 1)
                 qual = np.full(len(sp), self._qual_for(s1), dtype=np.uint8)
-                return ("splice", sp, qual)
+                iu = self._splice_iupac(run, sp, tgt, k)
+                return ("splice", sp, qual, iu)
         if raw_len > self.opt.max_len_weak_region1 or raw_len <= 0:
             return ("raw", raw_a, raw_b)
         nk2 = int(self.nk[nxt.uid])
@@ -499,6 +532,7 @@ class Corrector:
     def _assemble(self, codes: np.ndarray, raw_qual: Optional[np.ndarray],
                   segs, regions: List[RegionSpec]) -> CorrectedRead:
         out_seq, out_qual = [], []
+        out_iupac: list = []    # (global offset, mask array) of splice sites
         n_solid = n_regions = n_corr = 0
 
         def raw_span(a, b):
@@ -519,6 +553,8 @@ class Corrector:
                 n_corr += 1
                 out_seq.append(seg[1])
                 out_qual.append(seg[2])
+                if len(seg) > 3 and seg[3] is not None:
+                    out_iupac.append((sum(map(len, out_seq[:-1])), seg[3]))
             else:  # region
                 sp = regions[seg[1]]
                 n_regions += 1
@@ -541,8 +577,14 @@ class Corrector:
                     out_qual.append(sp.qual)
         seq = np.concatenate(out_seq) if out_seq else np.zeros(0, np.uint8)
         qual = np.concatenate(out_qual) if out_qual else np.zeros(0, np.uint8)
+        iupac = None
+        if out_iupac:
+            iupac = np.zeros(len(seq), dtype=np.uint8)
+            for off, arr in out_iupac:
+                iupac[off:off + len(arr)] = arr
         return CorrectedRead(codes=seq, qual=qual, n_solid=n_solid,
-                             n_regions=n_regions, n_corrected=n_corr)
+                             n_regions=n_regions, n_corrected=n_corr,
+                             iupac=iupac)
 
     # ---------- public API ----------
 

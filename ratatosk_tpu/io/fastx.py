@@ -112,11 +112,12 @@ class FastqWriter:
         self.write_qual = write_qual
         self._f = _open(path, "wt")
 
-    def write(self, name: str, codes: np.ndarray, qual: Optional[np.ndarray]):
+    def write(self, name: str, codes: np.ndarray, qual: Optional[np.ndarray],
+              iupac: Optional[np.ndarray] = None):
         if qual is None:
             qual = np.full(len(codes), 33 + 40, dtype=np.uint8)
         if self.trim_qual <= 0:
-            self._emit(name, codes, qual)
+            self._emit(name, codes, qual, iupac)
             return
         ok = qual >= (33 + self.trim_qual)
         i, sub = 0, 0
@@ -129,12 +130,20 @@ class FastqWriter:
             while j < n and ok[j]:
                 j += 1
             if j - i >= self.min_len:
-                self._emit(f"{name}/{sub}", codes[i:j], qual[i:j])
+                self._emit(f"{name}/{sub}", codes[i:j], qual[i:j],
+                           None if iupac is None else iupac[i:j])
                 sub += 1
             i = j
 
-    def _emit(self, name: str, codes: np.ndarray, qual: np.ndarray):
-        self._f.write(f"@{name}\n{dna.decode(codes)}\n+\n")
+    def _emit(self, name: str, codes: np.ndarray, qual: np.ndarray,
+              iupac: Optional[np.ndarray] = None):
+        seq = dna.decode(codes)
+        if iupac is not None and iupac.any():
+            chars = np.frombuffer(seq.encode(), np.uint8).copy()
+            amb = iupac != 0
+            chars[amb] = dna.IUPAC_CHARS[iupac[amb] & 15]
+            seq = chars.tobytes().decode()
+        self._f.write(f"@{name}\n{seq}\n+\n")
         if self.write_qual:
             self._f.write(qual.tobytes().decode("ascii") + "\n")
         else:

@@ -187,7 +187,7 @@ def correct_file(corrector: Corrector, opt: CorrectOpt, in_paths: List[str],
         quals = batch_quals if any(q is not None for q in batch_quals) else None
         results = corrector.correct_batch(batch_reads, quals, batch_names)
         for name, cr in zip(batch_names, results):
-            writer.write(name, cr.codes, cr.qual)
+            writer.write(name, cr.codes, cr.qual, cr.iupac)
             n_reads += 1
             n_bases += len(cr.codes)
         batch_reads.clear()
@@ -230,7 +230,8 @@ def run_correct(opt: CorrectOpt) -> None:
         else:
             cdbg, colors = build_pass1_index(opt, short_reads, read_ids)
         o1 = _pass_opt(opt, 1)
-        corr = Corrector(cdbg, colors, o1, hap=hap)
+        corr = Corrector(cdbg, colors, o1, hap=hap,
+                         snps=_detect_snps(opt, cdbg, colors))
         out = pass1_out if not opt.pass1_only else final_out
         n, bp = correct_file(corr, o1, opt.filename_long_in, out, 1,
                              trim_qual=opt.trim_qual if opt.pass1_only else 0)
@@ -250,7 +251,8 @@ def run_correct(opt: CorrectOpt) -> None:
     else:
         cdbg2, colors2 = build_pass2_index(opt, corrected, short_reads, read_ids)
     o2 = _pass_opt(opt, 2)
-    corr2 = Corrector(cdbg2, colors2, o2, hap=hap)
+    corr2 = Corrector(cdbg2, colors2, o2, hap=hap,
+                      snps=_detect_snps(opt, cdbg2, colors2))
     n, bp = correct_file(corr2, o2, pass2_in, final_out, 2,
                          trim_qual=opt.trim_qual)
     _log(opt, f"pass 2: corrected {n} reads / {bp} bases -> {final_out}")
@@ -275,6 +277,16 @@ def run_index(opt: CorrectOpt) -> None:
         path = GIO.index_path(prefix, opt.k)
         GIO.save_index(path, cdbg2, colors2)
         _log(opt, f"wrote {path}")
+
+
+def _detect_snps(opt: CorrectOpt, cdbg, colors):
+    """SNP-candidate annotation (detectSNPs analog) unless disabled by -F."""
+    if opt.no_snp_correction:
+        return None
+    from ratatosk_tpu.graph import snp as SNP
+    ann = SNP.detect_snps(cdbg, colors)
+    _log(opt, f"SNP candidates: {ann.n_sites} annotated sites")
+    return ann
 
 
 def _pass_opt(opt: CorrectOpt, pass_no: int) -> CorrectOpt:
