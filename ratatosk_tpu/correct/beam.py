@@ -126,14 +126,13 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
     nb = g.useq[g.uoff[uid] + pos.astype(g.uoff.dtype)].astype(jnp.int32)
     nb = jnp.where(d == 0, nb, 3 - nb)
 
-    # branch candidates: successors of (uid, leaving strand = direction);
-    # color sharing via hashed-signature dot (MXU) instead of id searches
+    # branch candidates: successors of (uid, leaving strand = direction).
+    # The color filter runs AFTER selection on the B winners (optimistic
+    # expansion): a bad-color branch survives one step and is killed next —
+    # 4x less signature traffic than filtering all 4B candidates.
     e = g.edges[uid, d]                    # [R, B, 4]
     esup = g.edge_support[uid, d]          # [R, B, 4]
-    cand_uid = jnp.maximum(e >> 1, 0)
-    csig = g.color_sig[cand_uid]           # [R, B, 4, H] int8
-    shared = CS.intersect_count_sig(csig, rb.colors_sig[:, None, None, :], jnp)
-    branch_ok = (e >= 0) & esup & (shared >= min_cov) & at_bound[..., None]
+    branch_ok = (e >= 0) & esup & at_bound[..., None]
 
     cidx = jnp.arange(4, dtype=jnp.int32)[None, None, :]
     # slot c: boundary -> successor with base c; mid -> only slot nb advances
@@ -151,12 +150,9 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
     cand_tip = jnp.where(keep, st.tip[..., None], cand_tip)
     cand_off = jnp.where(keep, st.off[..., None], cand_off)
     cand_plen = jnp.where(emits, st.plen[..., None] + 1, st.plen[..., None])
-    cand_ccsum = jnp.where(
-        at_bound[..., None] & emits,
-        st.ccsum[..., None] + jnp.minimum(shared, _CAPC).astype(jnp.float32) / _CAPC,
-        st.ccsum[..., None])
-    cand_nvis = jnp.where(at_bound[..., None] & emits,
-                          st.nvis[..., None] + 1, st.nvis[..., None])
+    cand_branch = at_bound[..., None] & emits
+    cand_ccsum = jnp.broadcast_to(st.ccsum[..., None], (R, B, 4))
+    cand_nvis = jnp.where(cand_branch, st.nvis[..., None] + 1, st.nvis[..., None])
     cand_compl = st.compl_[..., None] | (
         emits & (rb.end_tip[:, None, None] >= 0)
         & (cand_tip == rb.end_tip[:, None, None])
@@ -237,7 +233,8 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
         emits.astype(jnp.float32),
         cand_fdist.astype(jnp.float32),
         cand_fend.astype(jnp.float32),
-    ], axis=-1).reshape(R, C, 10)
+        cand_branch.astype(jnp.float32),
+    ], axis=-1).reshape(R, C, 11)
     feat = jnp.concatenate(
         [scalars, cand_rwin.astype(jnp.float32).reshape(R, C, W)], axis=-1)
     selected = jnp.einsum("rbc,rcf->rbf", P, feat,
@@ -252,8 +249,20 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
     sel_emit = selected[..., 7] > 0.5
     new_fdist = selected[..., 8].astype(jnp.int32)
     new_fend = selected[..., 9].astype(jnp.int32)
-    new_rwin_sel = selected[..., 10:].astype(jnp.int32)
+    sel_branch = selected[..., 10] > 0.5
+    new_rwin_sel = selected[..., 11:].astype(jnp.int32)
     new_live = jnp.take_along_axis(fscore, sel, axis=1) > NEG / 2
+
+    # post-selection color filter + color score on the B winners only
+    # (|colors(successor) ∩ region colors| >= min_cov,
+    # GraphTraversal.cpp:485-489, via hashed-signature dot)
+    sel_sig = g.color_sig[jnp.maximum(new_tip >> 1, 0)]      # [R, B, H]
+    shared = CS.intersect_count_sig(sel_sig, rb.colors_sig[:, None, :], jnp)
+    new_live = new_live & (~sel_branch | new_compl | (shared >= min_cov))
+    new_ccsum = jnp.where(
+        sel_branch,
+        new_ccsum + jnp.minimum(shared, _CAPC).astype(jnp.float32) / _CAPC,
+        new_ccsum)
 
     # sequences: parent one-hot matmul, then write the emitted base (the
     # candidate's slot index sel&3) at column plen-1 via an iota mask

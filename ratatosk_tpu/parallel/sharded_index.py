@@ -1,0 +1,103 @@
+"""Sharded k-mer index: range-partitioned keys over the device mesh.
+
+The replicated index (parallel/mesh.py) matches the reference's
+index-per-node semantics (Ratatosk.nf:280). For genomes whose index exceeds
+one chip's HBM (the reference needs a 448 GB node for human, BASELINE.md),
+the sorted canonical-key array is *range-partitioned*: device i holds keys in
+[split[i], split[i+1]). A batched lookup runs under shard_map: every device
+binary-searches the full (replicated) query batch against its local shard —
+keys are sorted, so each query hits exactly one shard and misses return -1 —
+and one `pmax` combines the per-shard answers. One collective per lookup
+batch, O(log(N/D)) gathers per device: the all-gather-free analog of the
+reference's "replicate index to every node" scaled past one node's memory.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ratatosk_tpu.ops.kmer_index import KmerIndex
+
+AXIS = "shard"
+
+
+class ShardedKmerIndex:
+    """Sorted 1-word key array split into equal ranges across a mesh axis."""
+
+    def __init__(self, index: KmerIndex, mesh: Mesh):
+        if index.two_word:
+            raise NotImplementedError(
+                "sharded lookup currently supports k<=32 (1-word keys); "
+                "pass 2 (k=63) uses the replicated index")
+        self.mesh = mesh
+        self.k = index.k
+        n_dev = mesh.devices.size
+        n = index.n
+        per = -(-n // n_dev)
+        self.n = n
+        self.per = per
+        pad = per * n_dev - n
+        maxkey = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+        def padk(x, fill):
+            return np.concatenate([np.asarray(x), np.full(pad, fill, x.dtype)])
+
+        sh = NamedSharding(mesh, P(AXIS))
+        self.keys = jax.device_put(
+            padk(index.keys_lo, maxkey).reshape(n_dev, per), sh)
+        self.uid = jax.device_put(
+            padk(index.unitig_id, -1).reshape(n_dev, per), sh)
+        self.pos = jax.device_put(
+            padk(index.pos, 0).reshape(n_dev, per), sh)
+        self.strand = jax.device_put(
+            padk(index.strand.astype(np.int32), 0).reshape(n_dev, per), sh)
+        self._lookup = self._build_lookup()
+
+    def _build_lookup(self):
+        per = self.per
+        mesh = self.mesh
+
+        def local(keys, uid, pos, strand, q):
+            # keys [1, per] local shard; q [Q] replicated
+            k = keys[0]
+            steps = max(1, int(np.ceil(np.log2(per + 1))))
+            lo = jnp.zeros(q.shape, jnp.int32)
+            hi = jnp.full(q.shape, per, jnp.int32)
+
+            def body(_, lh):
+                lo, hi = lh
+                mid = (lo + hi) >> 1
+                go = k[jnp.minimum(mid, per - 1)] < q
+                return jnp.where(go, mid + 1, lo), jnp.where(go, hi, mid)
+
+            lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
+            safe = jnp.minimum(lo, per - 1)
+            found = (lo < per) & (k[safe] == q)
+            hit_uid = jnp.where(found, uid[0][safe], -1)
+            hit_pos = jnp.where(found, pos[0][safe], -1)
+            hit_strand = jnp.where(found, strand[0][safe], -1)
+            # each query exists in exactly one shard; pmax combines (-1 = miss)
+            return (jax.lax.pmax(hit_uid, AXIS),
+                    jax.lax.pmax(hit_pos, AXIS),
+                    jax.lax.pmax(hit_strand, AXIS))
+
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None),
+                      P(AXIS, None), P()),
+            out_specs=(P(), P(), P()),
+        )
+        return jax.jit(fn)
+
+    def lookup(self, queries: jnp.ndarray):
+        """Canonical uint64 queries [Q] -> (uid, pos, strand) int32 [Q],
+        -1 where absent."""
+        return self._lookup(self.keys, self.uid, self.pos, self.strand,
+                            jnp.asarray(queries))
