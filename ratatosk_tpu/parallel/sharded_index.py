@@ -25,13 +25,13 @@ from jax.experimental.shard_map import shard_map
 
 from ratatosk_tpu.ops.kmer_index import KmerIndex
 
-AXIS = "shard"
 
 
 class ShardedKmerIndex:
     """Sorted 1-word key array split into equal ranges across a mesh axis."""
 
     def __init__(self, index: KmerIndex, mesh: Mesh):
+        self.axis = mesh.axis_names[0]
         if index.two_word:
             raise NotImplementedError(
                 "sharded lookup currently supports k<=32 (1-word keys); "
@@ -49,7 +49,7 @@ class ShardedKmerIndex:
         def padk(x, fill):
             return np.concatenate([np.asarray(x), np.full(pad, fill, x.dtype)])
 
-        sh = NamedSharding(mesh, P(AXIS))
+        sh = NamedSharding(mesh, P(self.axis))
         self.keys = jax.device_put(
             padk(index.keys_lo, maxkey).reshape(n_dev, per), sh)
         self.uid = jax.device_put(
@@ -63,13 +63,15 @@ class ShardedKmerIndex:
     def _build_lookup(self):
         per = self.per
         mesh = self.mesh
+        axis = self.axis
 
         def local(keys, uid, pos, strand, q):
             # keys [1, per] local shard; q [Q] replicated
             k = keys[0]
             steps = max(1, int(np.ceil(np.log2(per + 1))))
-            lo = jnp.zeros(q.shape, jnp.int32)
-            hi = jnp.full(q.shape, per, jnp.int32)
+            # carries become axis-varying once they touch the local shard
+            lo = jax.lax.pvary(jnp.zeros(q.shape, jnp.int32), (axis,))
+            hi = jax.lax.pvary(jnp.full(q.shape, per, jnp.int32), (axis,))
 
             def body(_, lh):
                 lo, hi = lh
@@ -84,14 +86,14 @@ class ShardedKmerIndex:
             hit_pos = jnp.where(found, pos[0][safe], -1)
             hit_strand = jnp.where(found, strand[0][safe], -1)
             # each query exists in exactly one shard; pmax combines (-1 = miss)
-            return (jax.lax.pmax(hit_uid, AXIS),
-                    jax.lax.pmax(hit_pos, AXIS),
-                    jax.lax.pmax(hit_strand, AXIS))
+            return (jax.lax.pmax(hit_uid, axis),
+                    jax.lax.pmax(hit_pos, axis),
+                    jax.lax.pmax(hit_strand, axis))
 
         fn = shard_map(
             local, mesh=mesh,
-            in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None),
-                      P(AXIS, None), P()),
+            in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                      P(axis, None), P()),
             out_specs=(P(), P(), P()),
         )
         return jax.jit(fn)
