@@ -65,23 +65,19 @@ def find_runs(cdbg: Cdbg, codes: np.ndarray) -> List[SolidRun]:
     o = np.where(direction == 0, pos, nk - 1 - pos)
 
     # chain: t..t+1 colinear iff same unitig+direction and oriented offset +1
-    t = np.arange(len(rows) - 1)
     chain = (hit[:-1] & hit[1:] & (uid[:-1] == uid[1:])
              & (direction[:-1] == direction[1:]) & (o[1:] == o[:-1] + 1))
-    runs: List[SolidRun] = []
-    i = 0
-    n = len(rows)
-    while i < n:
-        if not hit[i]:
-            i += 1
-            continue
-        j = i
-        while j + 1 < n and chain[j]:
-            j += 1
-        runs.append(SolidRun(s=i, e=j, uid=int(uid[i]),
-                             direction=int(direction[i]), o_s=int(o[i])))
-        i = j + 1
-    return runs
+    # run starts: hit positions not chained from the left; ends: not chained
+    # to the right (vectorized — the planner is host-side hot path)
+    start_mask = hit.copy()
+    start_mask[1:] &= ~chain
+    end_mask = hit.copy()
+    end_mask[:-1] &= ~chain
+    starts = np.flatnonzero(start_mask)
+    ends = np.flatnonzero(end_mask)
+    return [SolidRun(s=int(s), e=int(e), uid=int(uid[s]),
+                     direction=int(direction[s]), o_s=int(o[s]))
+            for s, e in zip(starts, ends)]
 
 
 def filter_runs_by_color(runs: List[SolidRun], colors: GraphColors,
@@ -93,19 +89,22 @@ def filter_runs_by_color(runs: List[SolidRun], colors: GraphColors,
     """
     if len(runs) <= 1:
         return runs
+    uids = np.array([r.uid for r in runs])
+    lens = np.array([r.e - r.s for r in runs])
+    diff = uids[:-1] != uids[1:]
+    cnt = np.full(len(runs) - 1, min_cov, dtype=np.int32)
+    sel = np.flatnonzero(diff)
+    if sel.size:
+        cnt[sel] = CS.intersect_count(colors.rows[uids[sel]],
+                                      colors.rows[uids[sel + 1]], np)
     kill = np.zeros(len(runs), dtype=bool)
-    for i in range(len(runs) - 1):
-        a, b = runs[i], runs[i + 1]
-        if a.uid == b.uid:
-            continue
-        cnt = int(CS.intersect_count(colors.rows[a.uid], colors.rows[b.uid], np))
-        if cnt < min_cov:
-            # keep the longer run if the other is a 1-k-mer blip; else kill both
-            la, lb = a.e - a.s, b.e - b.s
-            if la == 0 and lb > 2:
-                kill[i] = True
-            elif lb == 0 and la > 2:
-                kill[i + 1] = True
-            else:
-                kill[i] = kill[i + 1] = True
+    bad = np.flatnonzero(diff & (cnt < min_cov))
+    for i in bad:
+        la, lb = lens[i], lens[i + 1]
+        if la == 0 and lb > 2:
+            kill[i] = True
+        elif lb == 0 and la > 2:
+            kill[i + 1] = True
+        else:
+            kill[i] = kill[i + 1] = True
     return [r for r, dead in zip(runs, kill) if not dead]
