@@ -106,6 +106,27 @@ def _band_dists(row, cols, tgt_len):
     return dist_pref, end_max, dist_nw
 
 
+def _band_dists_from_d(dmat, cols, tgt_len):
+    """Same stats, computed from the D column minima BEFORE the prefix-min
+    scan. With E[j] = j + cummin_{l<=j}(D[l]-l):
+      min_j E[j] = min_l D[l]          (the min is attained at j = l*),
+      E[j] = minD  iff  D[j] = minD    (tie columns coincide),
+      E[tl] = tl + min_{l<=tl}(D[l]-l),
+    so prefix distance, tie end-columns and the NW distance are plain
+    reductions over D — the O(W log W) cummin only ever needs to run on the
+    `beam` selected rows, not on all 4*beam candidates."""
+    tl = tgt_len[..., None]
+    valid = cols <= tl
+    masked = jnp.where(valid, dmat, BIG)
+    dist_pref = jnp.min(masked, axis=-1)
+    is_min = masked == dist_pref[..., None]
+    end_max = jnp.max(jnp.where(is_min, cols, -1), axis=-1)
+    in_win = (cols[..., :1] <= tl[..., 0:1]) & (tl[..., 0:1] <= cols[..., -1:])
+    dist_nw = jnp.min(jnp.where(valid, dmat - cols, BIG), axis=-1) + tl[..., 0]
+    dist_nw = jnp.where(in_win[..., 0], dist_nw, BIG)
+    return dist_pref, end_max, jnp.minimum(dist_nw, BIG)
+
+
 def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
     R, B = st.tip.shape
     L = st.seq.shape[-1]
@@ -158,7 +179,7 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
         & (cand_tip == rb.end_tip[:, None, None])
         & (cand_off == rb.end_off[:, None, None]))
 
-    # --- banded DP row update ---
+    # --- banded DP candidate scoring (no prefix-min scan here) ---
     # every live entry has plen == i, so the band window start is a shared scalar;
     # new row i+1 sits at window ws(i+1), shifted by delta in {0,1} vs ws(i)
     ws = _window_start(i, nt1, W)
@@ -184,12 +205,6 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
     dmat = jnp.where(cols[None, None, None, :] == 0,
                      cand_plen[..., None], dmat)
     dmat = jnp.minimum(dmat, BIG)
-    emat = dmat - cols[None, None, None, :]
-    new_rwin = cols[None, None, None, :] + jax.lax.cummin(emat, axis=3)
-    new_rwin = jnp.minimum(new_rwin, BIG)
-    # frozen/keep candidates retain the old window (their captured scalars
-    # carry the answer; the stale window is never read again)
-    cand_rwin = jnp.where(emits[..., None], new_rwin, st.rwin[:, :, None, :])
 
     # newly-frozen: completed, dead end, or path length budget exhausted
     over = cand_plen >= rb.max_plen[:, None, None]
@@ -198,7 +213,16 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
 
     tl = jnp.broadcast_to(rb.tgt_len[:, None, None], (R, B, 4))
     cols4 = jnp.broadcast_to(cols[None, None, None, :], (R, B, 4, W))
-    dist_pref, end_max, dist_nw = _band_dists(cand_rwin, cols4, tl)
+    dist_pref, end_max, dist_nw = _band_dists_from_d(dmat, cols4, tl)
+    # non-emitting (keep) slots: stats of the parent's current row, which
+    # lives at window ws(i)
+    cols_prev = ws + jnp.arange(W, dtype=jnp.int32)
+    colsB = jnp.broadcast_to(cols_prev[None, None, :], (R, B, W))
+    dist_pref_k, end_max_k, dist_nw_k = _band_dists(
+        st.rwin, colsB, rb.tgt_len[:, None])
+    dist_pref = jnp.where(emits, dist_pref, dist_pref_k[..., None])
+    end_max = jnp.where(emits, end_max, end_max_k[..., None])
+    dist_nw = jnp.where(emits, dist_nw, dist_nw_k[..., None])
 
     newly = cand_frozen & ~st.frozen[..., None]
     cand_fdist = jnp.where(newly,
@@ -217,10 +241,18 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
     score = jnp.where(valid, score, NEG)
 
     # --- top-`beam` selection as one-hot matmuls (MXU) ---
+    # lax.top_k lowers to a serialized sort (~1.3ms/step at R=512, 93% of the
+    # step); rank-by-pairwise-comparison is pure VPU: rank[c] = #candidates
+    # strictly better (ties broken by slot index), P[b, c] = (rank[c] == b).
     C = B * 4
     fscore = score.reshape(R, C)
-    _, sel = jax.lax.top_k(fscore, B)                        # [R, B]
-    P = jax.nn.one_hot(sel, C, dtype=jnp.float32)            # [R, B, C]
+    sgt = fscore[:, :, None] > fscore[:, None, :]            # [R, C', C]
+    seq_tie = (fscore[:, :, None] == fscore[:, None, :]) & (
+        jnp.arange(C, dtype=jnp.int32)[None, :, None]
+        < jnp.arange(C, dtype=jnp.int32)[None, None, :])
+    rank = (sgt | seq_tie).sum(axis=1).astype(jnp.int32)     # [R, C]
+    P = (rank[:, None, :] == jnp.arange(B, dtype=jnp.int32)[None, :, None]
+         ).astype(jnp.float32)                               # [R, B, C]
 
     scalars = jnp.stack([
         cand_tip.astype(jnp.float32),
@@ -235,9 +267,7 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
         cand_fend.astype(jnp.float32),
         cand_branch.astype(jnp.float32),
     ], axis=-1).reshape(R, C, 11)
-    feat = jnp.concatenate(
-        [scalars, cand_rwin.astype(jnp.float32).reshape(R, C, W)], axis=-1)
-    selected = jnp.einsum("rbc,rcf->rbf", P, feat,
+    selected = jnp.einsum("rbc,rcf->rbf", P, scalars,
                           preferred_element_type=jnp.float32)
     new_tip = selected[..., 0].astype(jnp.int32)
     new_off = selected[..., 1].astype(jnp.int32)
@@ -250,8 +280,9 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
     new_fdist = selected[..., 8].astype(jnp.int32)
     new_fend = selected[..., 9].astype(jnp.int32)
     sel_branch = selected[..., 10] > 0.5
-    new_rwin_sel = selected[..., 11:].astype(jnp.int32)
-    new_live = jnp.take_along_axis(fscore, sel, axis=1) > NEG / 2
+    sel_score = jnp.einsum("rbc,rc->rb", P, fscore,
+                           preferred_element_type=jnp.float32)
+    new_live = sel_score > NEG / 2
 
     # post-selection color filter + color score on the B winners only
     # (|colors(successor) ∩ region colors| >= min_cov,
@@ -265,14 +296,41 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
         new_ccsum)
 
     # sequences: parent one-hot matmul, then write the emitted base (the
-    # candidate's slot index sel&3) at column plen-1 via an iota mask
-    Pp = jax.nn.one_hot(sel >> 2, B, dtype=jnp.float32)      # [R, B, B]
+    # candidate's slot index c&3) at column plen-1 via an iota mask
+    carange = jnp.arange(C, dtype=jnp.int32)
+    mpar = (carange[:, None] >> 2 == jnp.arange(B, dtype=jnp.int32)[None, :]
+            ).astype(jnp.float32)                            # [C, B] const
+    Pp = jnp.einsum("rbc,cp->rbp", P, mpar,
+                    preferred_element_type=jnp.float32)      # [R, B, B]
     seq_par = jnp.einsum("rbp,rpl->rbl", Pp, st.seq.astype(jnp.float32),
                          preferred_element_type=jnp.float32)
-    sel_c = (sel & 3).astype(jnp.float32)
+    sel_c = jnp.einsum("rbc,c->rb", P, (carange & 3).astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (R, B, L), 2)
     wmask = sel_emit[..., None] & (col == (new_plen - 1)[..., None])
     seq_new = jnp.where(wmask, sel_c[..., None], seq_par).astype(jnp.uint8)
+
+    # --- rebuild the winners' DP rows (prefix-min scan on B rows only) ---
+    # gather each winner's parent row, then redo the one-row update for the
+    # selected base; non-emitting winners keep the parent row verbatim
+    rwin_par = jnp.einsum("rbp,rpw->rbw", Pp, st.rwin.astype(jnp.float32),
+                          preferred_element_type=jnp.float32).astype(jnp.int32)
+    shiftL_s = jnp.concatenate([rwin_par[..., 1:],
+                                jnp.full_like(rwin_par[..., :1], BIG)], axis=-1)
+    shiftR_s = jnp.concatenate([jnp.full_like(rwin_par[..., :1], BIG),
+                                rwin_par[..., :-1]], axis=-1)
+    prev_j_s = jnp.where(delta == 1, shiftL_s, rwin_par)
+    prev_jm1_s = jnp.where(delta == 1, rwin_par, shiftR_s)
+    sel_ci = (sel_c + 0.5).astype(jnp.int32)
+    sub_s = (((jnp.int32(1) << sel_ci)[..., None]
+              & bslice[:, None, :].astype(jnp.int32)) == 0).astype(jnp.int32)
+    d_sel = jnp.minimum(prev_jm1_s + sub_s, prev_j_s + 1)
+    d_sel = jnp.where(cols[None, None, :] == 0, new_plen[..., None], d_sel)
+    d_sel = jnp.minimum(d_sel, BIG)
+    e_sel = cols[None, None, :] + jax.lax.cummin(d_sel - cols[None, None, :],
+                                                 axis=2)
+    e_sel = jnp.minimum(e_sel, BIG)
+    new_rwin_sel = jnp.where(sel_emit[..., None], e_sel, rwin_par)
 
     return BeamState(
         tip=new_tip, off=new_off, plen=new_plen,
