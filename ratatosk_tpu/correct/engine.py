@@ -185,14 +185,10 @@ class Corrector:
         if len(tgt) == 0:
             q[:] = q_other
             return q
-        _, cig, _, _ = CG.traceback(dna.codes_to_masks(seq), dna.codes_to_masks(tgt), CG.NW)
-        i = 0
-        for op, ln in cig:
-            if op in "=XI":
-                q[i:i + ln] = q_match if op == "=" else q_other
-                i += ln
-        q[i:] = q_other
-        return q
+        _, _, _, qclass = CG.aln_stats(dna.codes_to_masks(seq),
+                                       dna.codes_to_masks(tgt), CG.NW,
+                                       want_qclass=True)
+        return np.where(qclass == 0, q_match, q_other).astype(np.uint8)
 
     # ---------- planning ----------
 
@@ -302,8 +298,8 @@ class Corrector:
                 if len(sp) == len(tgt) and (sp == tgt).all():
                     dist = 0
                 else:
-                    m = dna.codes_to_masks(sp)
-                    dist = int(CG.dp_matrix(m, dna.codes_to_masks(tgt), CG.NW)[-1, -1])
+                    dist = CG.aln_dist(dna.codes_to_masks(sp),
+                                       dna.codes_to_masks(tgt), CG.NW)
                 s1 = 1.0 - dist / max(len(tgt), 1)
                 qual = np.full(len(sp), self._qual_for(s1), dtype=np.uint8)
                 iu = self._splice_iupac(run, sp, tgt, k)
@@ -438,7 +434,7 @@ class Corrector:
         if blen == 0 or end <= 0:
             return
         tgt = sp.mirror_tgt if mirrored else sp.tgt
-        tdist, _, _, jend = CG.traceback(dna.codes_to_masks(tgt[:end]),
+        tdist, _, jend, _ = CG.aln_stats(dna.codes_to_masks(tgt[:end]),
                                          dna.codes_to_masks(seq), CG.SHW)
         if jend <= 0:
             return
@@ -507,7 +503,7 @@ class Corrector:
         # reference's trim, Correction.cpp:727-747)
         if blen == 0:
             return False
-        tdist, _, _, jend = CG.traceback(dna.codes_to_masks(sp.tgt),
+        tdist, _, jend, _ = CG.aln_stats(dna.codes_to_masks(sp.tgt),
                                          dna.codes_to_masks(seq), CG.SHW)
         if jend <= 0:
             return False

@@ -18,6 +18,51 @@ import numpy as np
 NW, SHW, HW = 0, 1, 2
 
 
+def aln_stats(a_masks: np.ndarray, b_masks: np.ndarray, mode: int = NW,
+              want_qclass: bool = False):
+    """(dist, b_start, b_end, qclass) via the native banded aligner when
+    available (native/align.cpp), else the NumPy DP below.
+
+    qclass (only when requested): uint8 [len(a)] per-query-base op class
+    0/1/2 = '='/'X'/'I' — what per-base quality assignment needs
+    (GraphTraversal.cpp:722-772).
+    """
+    from ratatosk_tpu.ops import native_align as NA
+    if NA.available():
+        dist, b0, b1, qc, _ = NA.align(a_masks, b_masks, mode,
+                                       want_qclass=want_qclass)
+        return dist, b0, b1, qc
+    dist, cig, b0, b1 = traceback(a_masks, b_masks, mode)
+    qc = None
+    if want_qclass:
+        qc = np.zeros(len(a_masks), dtype=np.uint8)
+        i = 0
+        for op, ln in cig:
+            if op in "=XI":
+                qc[i:i + ln] = 0 if op == "=" else (1 if op == "X" else 2)
+                i += ln
+    return dist, b0, b1, qc
+
+
+def aln_dist(a_masks: np.ndarray, b_masks: np.ndarray, mode: int = NW) -> int:
+    """Distance only (banded native when available)."""
+    from ratatosk_tpu.ops import native_align as NA
+    if NA.available():
+        return NA.align(a_masks, b_masks, mode)[0]
+    m = dp_matrix(a_masks, b_masks, mode)
+    return int(m[-1, -1] if mode == NW else m[-1].min())
+
+
+def aln_cigar(a_masks: np.ndarray, b_masks: np.ndarray, mode: int = NW):
+    """(dist, cigar, b_start, b_end) via native traceback when available."""
+    from ratatosk_tpu.ops import native_align as NA
+    if NA.available():
+        dist, b0, b1, _, cig = NA.align(a_masks, b_masks, mode,
+                                        want_cigar=True)
+        return dist, cig, b0, b1
+    return traceback(a_masks, b_masks, mode)
+
+
 def dp_matrix(a_masks: np.ndarray, b_masks: np.ndarray, mode: int = NW) -> np.ndarray:
     """Full edit DP matrix [M+1, N+1] (int32). IUPAC via 4-bit masks."""
     m, n = len(a_masks), len(b_masks)
