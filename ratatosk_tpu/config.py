@@ -69,6 +69,17 @@ class CorrectOpt:
     index_only: bool = False       # `index` subcommand
 
     # -- TPU-specific knobs (no reference counterpart) --
+    # open (head/tail) regions have no right anchor to certify a path; accept
+    # the beam's walk only when it matches the raw target this well (1 - edit
+    # rate). A true correction sits near the read's error rate (~0.85-0.9);
+    # a wrong repeat walk scores far below 0.5.
+    min_score_open_region: float = 0.5
+    # weak (1-edit) seed waypoints inside long anchor-free spans (the
+    # reference's masked inexact re-search + semi-weak path hops,
+    # Graph.cpp:100-196, Correction.cpp:3-157)
+    use_weak_seeds: bool = True
+    weak_seed_min_gap: int = 200    # probe spans at least this long (bp)
+    weak_seed_min_space: int = 64   # min spacing between waypoints / edges
     beam_width: int = 16          # beam entries per weak region
     band_width: int = 192         # DP band for long regions (edlib-style);
                                   # regions <= 256 bp always run exact

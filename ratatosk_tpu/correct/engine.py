@@ -29,7 +29,9 @@ from ratatosk_tpu import dna
 from ratatosk_tpu.config import CorrectOpt
 from ratatosk_tpu.correct import beam as BM
 from ratatosk_tpu.correct.graphdev import DeviceGraph
-from ratatosk_tpu.correct.seeds import SolidRun, filter_runs_by_color, find_runs
+from ratatosk_tpu.correct.seeds import (SolidRun, filter_runs_by_color,
+                                        find_runs, find_weak_seeds,
+                                        select_waypoints)
 from ratatosk_tpu.graph.build import Cdbg
 from ratatosk_tpu.graph.colors import GraphColors
 from ratatosk_tpu.ops import cigar as CG
@@ -92,6 +94,10 @@ class RegionSpec:
     colors_row: np.ndarray
     # anchors for the backward mirror (gap regions)
     mirror: Optional[tuple] = None
+    # right-anchor GRAPH k-mer bases + its raw-window length (differs from k
+    # for weak 1-edit anchors whose read window spans k-1 or k+1 bases)
+    end_anchor: Optional[np.ndarray] = None
+    end_win: int = 0
     # mirrored target = revcomp(raw[raw_a-k : raw_b-k]): the backward path
     # emits from after the reversed right anchor through the left anchor k-mer
     mirror_tgt: Optional[np.ndarray] = None
@@ -205,6 +211,7 @@ class Corrector:
         runs = filter_runs_by_color(find_runs(self.cdbg, codes), self.colors)
         if not runs:
             return [("raw", 0, L)]
+        runs = self._add_waypoints(codes, runs)
         segs: list = []
         r0 = runs[0]
         if r0.s > 0 and self._span_max_quality(0, r0.s):
@@ -222,28 +229,76 @@ class Corrector:
                 colors_row=self._region_colors(r0.uid)))
             segs.append(("region", len(regions) - 1))
         for i, run in enumerate(runs):
-            a = run.s if i == 0 else run.s + k
-            segs.append(("solid", a, run.e + k))
+            if i == 0 and run.weak:
+                # a weak first anchor's read k-mer carries the error: emit the
+                # GRAPH copy of the k-mer instead of the raw bases
+                gk = self._oriented_slice(run.uid, run.direction,
+                                          run.o_s, run.o_e + k)
+                q = np.full(len(gk), self._qual_for(0.5), np.uint8)
+                segs.append(("splice", gk, q, None))
+            else:
+                a = run.s if i == 0 else run.s + k
+                segs.append(("solid", a, run.e + k))
+            rspan = run.rspan or k
             if i + 1 >= len(runs):
                 continue
             nxt = runs[i + 1]
-            raw_a, raw_b = run.e + k, nxt.s + k
-            raw_len = nxt.s - run.e
-            seg = self._plan_gap(ridx, codes, run, nxt, raw_a, raw_b, raw_len, regions)
+            raw_a, raw_b = run.e + rspan, nxt.s + (nxt.rspan or k)
+            seg = self._plan_gap(ridx, codes, run, nxt, raw_a, raw_b,
+                                 raw_b - raw_a, regions)
             segs.append(seg)
         last = runs[-1]
-        if last.e + k < L and self._span_max_quality(last.e + k, L):
-            segs.append(("raw", last.e + k, L))
-        elif last.e + k < L:
+        ta = last.e + (last.rspan or k)
+        if ta < L and self._span_max_quality(ta, L):
+            segs.append(("raw", ta, L))
+        elif ta < L:
             regions.append(RegionSpec(
-                read_idx=ridx, kind="tail", raw_a=last.e + k, raw_b=L,
-                tgt=codes[last.e + k:].astype(np.uint8),
+                read_idx=ridx, kind="tail", raw_a=ta, raw_b=L,
+                tgt=codes[ta:].astype(np.uint8),
                 start_tip=(last.uid << 1) | last.direction,
                 start_off=last.o_e + k,
                 end_tip=-1, end_off=0,
                 colors_row=self._region_colors(last.uid)))
             segs.append(("region", len(regions) - 1))
         return segs
+
+    def _add_waypoints(self, codes: np.ndarray, runs: List[SolidRun]
+                       ) -> List[SolidRun]:
+        """Insert weak (1-edit) seed waypoints into long anchor-free spans.
+
+        The reference corrects a weak region waypoint-to-waypoint across its
+        inexact seeds (extractSemiWeakPaths, Correction.cpp:3-157; seeds from
+        the masked inexact re-search, Graph.cpp:100-196). Here every long gap
+        / head / tail gets 1-edit seeds probed against the index, and a
+        color-consistent, spaced subset becomes pseudo-anchors: the planner
+        then cuts the span into short CLOSED legs the beam can certify.
+        """
+        opt = self.opt
+        if not opt.use_weak_seeds or self.cdbg.k > 32:
+            return runs
+        k = self.cdbg.k
+        L = len(codes)
+        min_gap = opt.weak_seed_min_gap
+        space = opt.weak_seed_min_space
+        wps: List[SolidRun] = []
+
+        def probe(a, b, flank_rows):
+            if b - a < min_gap or self._span_max_quality(a, b):
+                return
+            seeds = find_weak_seeds(self.cdbg, codes, a, b)
+            wps.extend(select_waypoints(
+                seeds, self.colors, flank_rows,
+                min_cov=opt.min_cov_vertices, min_space=space, lo=a, hi=b - k))
+
+        r0, last = runs[0], runs[-1]
+        probe(0, r0.s, self._region_colors(r0.uid))
+        for run, nxt in zip(runs, runs[1:]):
+            raw_a = run.e + (run.rspan or k)
+            probe(raw_a, nxt.s + k, self._region_colors(run.uid, nxt.uid))
+        probe(last.e + (last.rspan or k), L, self._region_colors(last.uid))
+        if not wps:
+            return runs
+        return sorted(runs + wps, key=lambda r: r.s)
 
     def _splice_iupac(self, run, splice: np.ndarray, tgt: np.ndarray,
                       k: int) -> Optional[np.ndarray]:
@@ -312,6 +367,11 @@ class Corrector:
             (nxt.uid << 1) | (nxt.direction ^ 1), (nk2 - 1 - nxt.o_s) + k,
             (run.uid << 1) | (run.direction ^ 1), (nk1 - 1 - run.o_e) + k,
         )
+        # mirrored target = revcomp of the raw span the backward path replaces:
+        # from the left anchor's first read base through the base before the
+        # right anchor's read window (anchor windows span rspan raw bases each)
+        m_a = raw_a - (run.rspan or k)
+        m_b = raw_b - (nxt.rspan or k)
         regions.append(RegionSpec(
             read_idx=ridx, kind="gap", raw_a=raw_a, raw_b=raw_b,
             tgt=codes[raw_a:raw_b].astype(np.uint8),
@@ -319,7 +379,10 @@ class Corrector:
             end_tip=(nxt.uid << 1) | nxt.direction, end_off=nxt.o_s + k,
             colors_row=self._region_colors(run.uid, nxt.uid),
             mirror=mirror,
-            mirror_tgt=dna.revcomp_codes(codes[raw_a - k:raw_b - k])))
+            mirror_tgt=dna.revcomp_codes(codes[m_a:m_b]),
+            end_anchor=self._oriented_slice(nxt.uid, nxt.direction,
+                                            nxt.o_s, nxt.o_s + k),
+            end_win=(nxt.rspan or k)))
         return ("region", len(regions) - 1)
 
     # ---------- device execution ----------
@@ -414,9 +477,10 @@ class Corrector:
                 if len(fwd) < k:
                     return False
                 body = fwd[k:]
-                anchor = sp.tgt[-k:]
+                anchor = sp.end_anchor if sp.end_anchor is not None else sp.tgt[-k:]
+                ew = sp.end_win or k
                 sp.seq = np.concatenate([body, anchor])
-                q = self._region_quality(body, sp.tgt[:max(n - k, 0)], s1, s2)
+                q = self._region_quality(body, sp.tgt[:max(n - ew, 0)], s1, s2)
                 sp.qual = np.concatenate(
                     [q, np.full(k, self._qual_for(1.0), np.uint8)])
             else:
@@ -466,27 +530,28 @@ class Corrector:
             return False
         end_f = f[1] if f else 0
         end_b = b[1] if b else 0
-        anchor = sp.tgt[-k:]
-        anchor_q = np.full(k, self._qual_for(1.0), np.uint8)
-        if f and (not b or end_f >= end_b) and end_f + k <= n:
-            # fw partial + raw middle + raw anchor
+        anchor = sp.end_anchor if sp.end_anchor is not None else sp.tgt[-k:]
+        ew = sp.end_win or k   # raw bases the right-anchor window consumes
+        anchor_q = np.full(len(anchor), self._qual_for(1.0), np.uint8)
+        if f and (not b or end_f >= end_b) and end_f + ew <= n:
+            # fw partial + raw middle + right-anchor graph k-mer
             qual_f = np.full(len(f[0]), self._qual_for(f[2]), np.uint8)
-            mid = sp.tgt[end_f:n - k]
+            mid = sp.tgt[end_f:n - ew]
             mid_q = np.full(len(mid), 33, np.uint8)
-            if b and end_f + end_b + k <= n:
+            if b and end_f + end_b + ew <= n:
                 bw_seq = dna.revcomp_codes(b[0])
                 qual_b = np.full(len(bw_seq), self._qual_for(b[2]), np.uint8)
-                mid = sp.tgt[end_f:n - k - end_b]
+                mid = sp.tgt[end_f:n - ew - end_b]
                 mid_q = np.full(len(mid), 33, np.uint8)
                 sp.seq = np.concatenate([f[0], mid, bw_seq, anchor])
                 sp.qual = np.concatenate([qual_f, mid_q, qual_b, anchor_q])
             else:
                 sp.seq = np.concatenate([f[0], mid, anchor])
                 sp.qual = np.concatenate([qual_f, mid_q, anchor_q])
-        elif b and end_b + k <= n:
+        elif b and end_b + ew <= n:
             bw_seq = dna.revcomp_codes(b[0])
             qual_b = np.full(len(bw_seq), self._qual_for(b[2]), np.uint8)
-            mid = sp.tgt[:n - k - end_b]
+            mid = sp.tgt[:n - ew - end_b]
             sp.seq = np.concatenate([mid, bw_seq, anchor])
             sp.qual = np.concatenate([np.full(len(mid), 33, np.uint8), qual_b,
                                       anchor_q])
@@ -509,7 +574,15 @@ class Corrector:
             return False
         seq = seq[:jend]
         s1 = 1.0 - tdist / max(n, 1)
-        if s1 < 0.0:
+        # acceptance gate: an open region has no right anchor to certify the
+        # path, so a free-running beam can return a plausible-scoring but
+        # wrong walk (e.g. through a repeat). A true correction differs from
+        # the raw target by ~the read's error rate; a wrong walk diverges
+        # almost everywhere. The reference avoids this by only advancing
+        # waypoint-to-waypoint across weak seeds (extractSemiWeakPaths,
+        # Correction.cpp:3-157); the gate enforces the same property on the
+        # whole-path shortcut.
+        if s1 < self.opt.min_score_open_region:
             return False
         sp.covered = n
         qual = self._region_quality(seq, sp.tgt, s1, s2)

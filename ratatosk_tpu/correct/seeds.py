@@ -29,6 +29,11 @@ class SolidRun:
     s/e: first/last read k-mer position (inclusive); uid/direction: unitig and
     traversal direction; o_s: oriented k-mer offset on the unitig at read
     position s (oriented offset increments by 1 per read position).
+
+    weak=True marks a 1-edit (inexact) seed used as a waypoint: its bases come
+    from the GRAPH k-mer (the read copy carries the error); rspan is how many
+    read bases the anchor window consumes (k for exact and substitution seeds,
+    k+1 when the read has an extra base, k-1 when it lacks one).
     """
 
     s: int
@@ -36,6 +41,8 @@ class SolidRun:
     uid: int
     direction: int
     o_s: int
+    weak: bool = False
+    rspan: int = 0   # 0 = default (k); engine fills the real span
 
     @property
     def o_e(self) -> int:
@@ -78,6 +85,162 @@ def find_runs(cdbg: Cdbg, codes: np.ndarray) -> List[SolidRun]:
     return [SolidRun(s=int(s), e=int(e), uid=int(uid[s]),
                      direction=int(direction[s]), o_s=int(o[s]))
             for s, e in zip(starts, ends)]
+
+
+def _variant_keys_sub(lo: np.ndarray, k: int):
+    """All 1-substitution variants of packed one-word k-mers.
+
+    lo: uint64 [P]. Returns (keys uint64 [P*3k], pos_idx int32 [P*3k] original
+    window index). The original base's variant is excluded.
+    """
+    P = len(lo)
+    outs = []
+    idxs = []
+    base_idx = np.arange(P, dtype=np.int32)
+    for p in range(k):
+        s = np.uint64(2 * (k - 1 - p))
+        orig = (lo >> s) & np.uint64(3)
+        cleared = lo & ~(np.uint64(3) << s)
+        for b in range(4):
+            key = cleared | (np.uint64(b) << s)
+            keep = orig != np.uint64(b)
+            outs.append(key[keep])
+            idxs.append(base_idx[keep])
+    return np.concatenate(outs), np.concatenate(idxs)
+
+
+def _variant_keys_del(w: np.ndarray, k: int):
+    """k-mers formed by dropping one base of packed (k+1)-windows (the read
+    carries one EXTRA base). w: uint64 [P] (k+1 bases, needs 2(k+1) <= 64).
+    Returns (keys, pos_idx). Dropping base 0 or k equals a shifted exact
+    window, so only interior positions 1..k-1 are emitted."""
+    P = len(w)
+    outs = []
+    idxs = []
+    base_idx = np.arange(P, dtype=np.int32)
+    for p in range(1, k):
+        hi = w >> np.uint64(2 * (k + 1 - p))
+        lo_mask = np.uint64((1 << (2 * (k - p))) - 1)
+        lo = w & lo_mask
+        outs.append((hi << np.uint64(2 * (k - p))) | lo)
+        idxs.append(base_idx)
+    return np.concatenate(outs), np.concatenate(idxs)
+
+
+def _variant_keys_ins(w: np.ndarray, k: int):
+    """k-mers formed by inserting one base into packed (k-1)-windows (the read
+    LOST one base). w: uint64 [P] of k-1 bases. Returns (keys, pos_idx);
+    interior insert positions 1..k-1 only (edges equal shifted windows)."""
+    P = len(w)
+    outs = []
+    idxs = []
+    base_idx = np.arange(P, dtype=np.int32)
+    for p in range(1, k):
+        hi = w >> np.uint64(2 * (k - 1 - p))
+        lo_mask = np.uint64((1 << (2 * (k - 1 - p))) - 1)
+        lo = w & lo_mask
+        stem = (hi << np.uint64(2 * (k - p))) | lo
+        for b in range(4):
+            outs.append(stem | (np.uint64(b) << np.uint64(2 * (k - 1 - p))))
+            idxs.append(base_idx)
+    return np.concatenate(outs), np.concatenate(idxs)
+
+
+def find_weak_seeds(cdbg: Cdbg, codes: np.ndarray, a: int, b: int,
+                    *, subs: bool = True, indels: bool = True,
+                    max_hits_per_pos: int = 1) -> List[SolidRun]:
+    """Inexact (1-edit) seeds inside read span [a, b).
+
+    TPU-native re-expression of the reference's masked inexact re-search
+    (getSeeds, Graph.cpp:100-196 builds l_s and calls
+    searchSequence(l_s, false, true, true, true, true)): instead of an
+    approximate-membership automaton, every 1-edit variant key of every window
+    is generated with vectorized bit surgery and probed against the sorted
+    canonical index in one searchsorted pass. Positions hit by more than
+    `max_hits_per_pos` distinct unitig placements are dropped (the conflict
+    suppression role of keep_non_overlap, Alignment.cpp:1017-1199).
+
+    Returns single-k-mer SolidRuns with weak=True, rspan in {k-1, k, k+1}.
+    Only one-word packing (k <= 32) is supported; callers gate on cdbg.k.
+    """
+    k = cdbg.k
+    if k > 32 or b - a < k:
+        return []
+    span = codes[a:b].astype(np.uint8)
+    key_groups = []   # (keys, read_pos, rspan)
+    if subs and len(span) >= k:
+        ka, valid = KeyArray.from_codes(span, k)
+        keys, idx = _variant_keys_sub(ka.lo[valid], k)
+        pos_map = np.flatnonzero(valid).astype(np.int32)
+        key_groups.append((keys, pos_map[idx], k))
+    if indels and len(span) >= k + 1 and 2 * (k + 1) <= 64:
+        kp1, valid = KeyArray.from_codes(span, k + 1)
+        keys, idx = _variant_keys_del(kp1.lo[valid], k)
+        pos_map = np.flatnonzero(valid).astype(np.int32)
+        key_groups.append((keys, pos_map[idx], k + 1))
+    if indels and len(span) >= k - 1:
+        km1, valid = KeyArray.from_codes(span, k - 1)
+        keys, idx = _variant_keys_ins(km1.lo[valid], k)
+        pos_map = np.flatnonzero(valid).astype(np.int32)
+        key_groups.append((keys, pos_map[idx], k - 1))
+    if not key_groups:
+        return []
+
+    index_keys = KeyArray(k, np.asarray(cdbg.index.keys_lo), None)
+    uid_arr = np.asarray(cdbg.index.unitig_id)
+    pos_arr = np.asarray(cdbg.index.pos)
+    strand_arr = np.asarray(cdbg.index.strand)
+    nk = cdbg.nkmers
+
+    found: dict = {}   # read_pos -> set of (uid, direction, o, rspan)
+    for keys, rpos, rspan in key_groups:
+        import ratatosk_tpu.ops.kmers as K
+        can, is_fw = K.canonical_kmer(keys, k, np)
+        rows = index_keys.find(KeyArray(k, can, None))
+        hit = rows >= 0
+        if not hit.any():
+            continue
+        r = rows[hit]
+        uid = uid_arr[r]
+        direction = np.where(is_fw[hit] == strand_arr[r], 0, 1)
+        o = np.where(direction == 0, pos_arr[r], nk[uid] - 1 - pos_arr[r])
+        for rp, u, d, oo in zip(rpos[hit], uid, direction, o):
+            found.setdefault(int(rp), set()).add((int(u), int(d), int(oo), rspan))
+
+    seeds = []
+    for rp in sorted(found):
+        hits = found[rp]
+        if len(hits) > max_hits_per_pos:
+            continue   # ambiguous placement: conflicting variants, drop
+        u, d, oo, rspan = next(iter(hits))
+        seeds.append(SolidRun(s=a + rp, e=a + rp, uid=u, direction=d, o_s=oo,
+                              weak=True, rspan=rspan))
+    return seeds
+
+
+def select_waypoints(seeds: List[SolidRun], colors: GraphColors,
+                     flank_rows: np.ndarray, *, min_cov: int = 2,
+                     min_space: int = 64, lo: int = 0, hi: int = 1 << 30
+                     ) -> List[SolidRun]:
+    """Greedy left-to-right waypoint chain: color-consistent with the flanking
+    anchors (>= min_cov shared reads) and spaced >= min_space apart and from
+    the span edges (so every leg gives the beam real work + certification)."""
+    if not seeds:
+        return []
+    uids = np.array([s.uid for s in seeds])
+    shared = CS.intersect_count(colors.rows[uids],
+                                np.broadcast_to(flank_rows, (len(uids),) +
+                                                flank_rows.shape), np)
+    out = []
+    last = lo
+    for s, sh in zip(seeds, shared):
+        if int(sh) < min_cov:
+            continue
+        if s.s - last < min_space or hi - s.s < min_space:
+            continue
+        out.append(s)
+        last = s.s
+    return out
 
 
 def filter_runs_by_color(runs: List[SolidRun], colors: GraphColors,
