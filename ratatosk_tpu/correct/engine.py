@@ -274,7 +274,7 @@ class Corrector:
         then cuts the span into short CLOSED legs the beam can certify.
         """
         opt = self.opt
-        if not opt.use_weak_seeds or self.cdbg.k > 32:
+        if not opt.use_weak_seeds:
             return runs
         k = self.cdbg.k
         L = len(codes)

@@ -109,6 +109,30 @@ def _variant_keys_sub(lo: np.ndarray, k: int):
     return np.concatenate(outs), np.concatenate(idxs)
 
 
+def _variant_keys_sub2(hi: np.ndarray, lo: np.ndarray, k: int):
+    """1-substitution variants of two-word k-mers (32 < k <= 64).
+
+    hi packs bases 0..k-33, lo packs bases k-32..k-1 (ops/kmers.py layout).
+    Returns (hi_keys, lo_keys, pos_idx)."""
+    P = len(lo)
+    out_hi, out_lo, idxs = [], [], []
+    base_idx = np.arange(P, dtype=np.int32)
+    for p in range(k):
+        in_hi = p < k - 32
+        s = np.uint64(2 * (k - 33 - p)) if in_hi else np.uint64(2 * (k - 1 - p))
+        w = hi if in_hi else lo
+        orig = (w >> s) & np.uint64(3)
+        cleared = w & ~(np.uint64(3) << s)
+        for b in range(4):
+            key = cleared | (np.uint64(b) << s)
+            keep = orig != np.uint64(b)
+            out_hi.append((key if in_hi else hi)[keep])
+            out_lo.append((lo if in_hi else key)[keep])
+            idxs.append(base_idx[keep])
+    return (np.concatenate(out_hi), np.concatenate(out_lo),
+            np.concatenate(idxs))
+
+
 def _variant_keys_del(w: np.ndarray, k: int):
     """k-mers formed by dropping one base of packed (k+1)-windows (the read
     carries one EXTRA base). w: uint64 [P] (k+1 bases, needs 2(k+1) <= 64).
@@ -161,42 +185,56 @@ def find_weak_seeds(cdbg: Cdbg, codes: np.ndarray, a: int, b: int,
     suppression role of keep_non_overlap, Alignment.cpp:1017-1199).
 
     Returns single-k-mer SolidRuns with weak=True, rspan in {k-1, k, k+1}.
-    Only one-word packing (k <= 32) is supported; callers gate on cdbg.k.
+    One-word k (<=32) probes substitutions + 1-bp indels; two-word k (pass 2,
+    k<=64) probes substitutions.
     """
+    import ratatosk_tpu.ops.kmers as K
     k = cdbg.k
-    if k > 32 or b - a < k:
+    if b - a < k:
         return []
     span = codes[a:b].astype(np.uint8)
-    key_groups = []   # (keys, read_pos, rspan)
-    if subs and len(span) >= k:
-        ka, valid = KeyArray.from_codes(span, k)
-        keys, idx = _variant_keys_sub(ka.lo[valid], k)
-        pos_map = np.flatnonzero(valid).astype(np.int32)
-        key_groups.append((keys, pos_map[idx], k))
-    if indels and len(span) >= k + 1 and 2 * (k + 1) <= 64:
-        kp1, valid = KeyArray.from_codes(span, k + 1)
-        keys, idx = _variant_keys_del(kp1.lo[valid], k)
-        pos_map = np.flatnonzero(valid).astype(np.int32)
-        key_groups.append((keys, pos_map[idx], k + 1))
-    if indels and len(span) >= k - 1:
-        km1, valid = KeyArray.from_codes(span, k - 1)
-        keys, idx = _variant_keys_ins(km1.lo[valid], k)
-        pos_map = np.flatnonzero(valid).astype(np.int32)
-        key_groups.append((keys, pos_map[idx], k - 1))
+    two_word = k > 32
+    key_groups = []   # (hi_or_None, lo, read_pos, rspan)
+    if two_word:
+        if subs and len(span) >= k:
+            ka, valid = KeyArray.from_codes(span, k)
+            hi_k, lo_k, idx = _variant_keys_sub2(ka.hi[valid], ka.lo[valid], k)
+            pos_map = np.flatnonzero(valid).astype(np.int32)
+            key_groups.append((hi_k, lo_k, pos_map[idx], k))
+    else:
+        if subs and len(span) >= k:
+            ka, valid = KeyArray.from_codes(span, k)
+            keys, idx = _variant_keys_sub(ka.lo[valid], k)
+            pos_map = np.flatnonzero(valid).astype(np.int32)
+            key_groups.append((None, keys, pos_map[idx], k))
+        if indels and len(span) >= k + 1 and 2 * (k + 1) <= 64:
+            kp1, valid = KeyArray.from_codes(span, k + 1)
+            keys, idx = _variant_keys_del(kp1.lo[valid], k)
+            pos_map = np.flatnonzero(valid).astype(np.int32)
+            key_groups.append((None, keys, pos_map[idx], k + 1))
+        if indels and len(span) >= k - 1:
+            km1, valid = KeyArray.from_codes(span, k - 1)
+            keys, idx = _variant_keys_ins(km1.lo[valid], k)
+            pos_map = np.flatnonzero(valid).astype(np.int32)
+            key_groups.append((None, keys, pos_map[idx], k - 1))
     if not key_groups:
         return []
 
-    index_keys = KeyArray(k, np.asarray(cdbg.index.keys_lo), None)
+    index_keys = KeyArray(k, np.asarray(cdbg.index.keys_lo),
+                          np.asarray(cdbg.index.keys_hi) if two_word else None)
     uid_arr = np.asarray(cdbg.index.unitig_id)
     pos_arr = np.asarray(cdbg.index.pos)
     strand_arr = np.asarray(cdbg.index.strand)
     nk = cdbg.nkmers
 
     found: dict = {}   # read_pos -> set of (uid, direction, o, rspan)
-    for keys, rpos, rspan in key_groups:
-        import ratatosk_tpu.ops.kmers as K
-        can, is_fw = K.canonical_kmer(keys, k, np)
-        rows = index_keys.find(KeyArray(k, can, None))
+    for hi_k, lo_k, rpos, rspan in key_groups:
+        if two_word:
+            chi, clo, is_fw = K.canonical_kmer2(hi_k, lo_k, k, np)
+            rows = index_keys.find(KeyArray(k, clo, chi))
+        else:
+            clo, is_fw = K.canonical_kmer(lo_k, k, np)
+            rows = index_keys.find(KeyArray(k, clo, None))
         hit = rows >= 0
         if not hit.any():
             continue

@@ -37,6 +37,32 @@ def test_variant_keys_sub_oracle():
     assert got == want
 
 
+def test_variant_keys_sub2_oracle():
+    from ratatosk_tpu.correct.seeds import _variant_keys_sub2
+    rng = np.random.default_rng(2)
+    k = 35
+    codes = rng.integers(0, 4, 45).astype(np.uint8)
+    hi, lo, _ = K.pack_kmers(codes, k, np)
+    hks, lks, idx = _variant_keys_sub2(hi, lo, k)
+    def unpack2(h, l):
+        out = []
+        for j in range(k - 32):
+            out.append((int(h) >> (2 * (k - 33 - j))) & 3)
+        for j in range(k - 32, k):
+            out.append((int(l) >> (2 * (k - 1 - j))) & 3)
+        return tuple(out)
+    got = {(int(i), unpack2(h, l)) for h, l, i in zip(hks, lks, idx)}
+    want = set()
+    for i in range(len(lo)):
+        w = codes[i:i + k]
+        for p in range(k):
+            for b in range(4):
+                if b != w[p]:
+                    v = w.copy(); v[p] = b
+                    want.add((i, tuple(int(x) for x in v)))
+    assert got == want
+
+
 def test_variant_keys_indel_oracle():
     rng = np.random.default_rng(1)
     k = 6
