@@ -80,6 +80,11 @@ class CorrectOpt:
     use_weak_seeds: bool = True
     weak_seed_min_gap: int = 200    # probe spans at least this long (bp)
     weak_seed_min_space: int = 64   # min spacing between waypoints / edges
+    # probe every Nth window position. stride 1 probes everything; >1 cuts
+    # probe cost but lets a wrong 1-edit placement at a probed position win
+    # when the right placement sits at a skipped one (conflict suppression is
+    # per-position), so it trades accuracy, not just waypoint density.
+    weak_seed_stride: int = 1
     beam_width: int = 16          # beam entries per weak region
     band_width: int = 192         # DP band for long regions (edlib-style);
                                   # regions <= 256 bp always run exact

@@ -30,7 +30,7 @@ from ratatosk_tpu.config import CorrectOpt
 from ratatosk_tpu.correct import beam as BM
 from ratatosk_tpu.correct.graphdev import DeviceGraph
 from ratatosk_tpu.correct.seeds import (SolidRun, filter_runs_by_color,
-                                        find_runs, find_weak_seeds,
+                                        find_runs, find_weak_seeds_batch,
                                         select_waypoints)
 from ratatosk_tpu.graph.build import Cdbg
 from ratatosk_tpu.graph.colors import GraphColors
@@ -199,7 +199,9 @@ class Corrector:
     # ---------- planning ----------
 
     def _plan_read(self, ridx: int, codes: np.ndarray, regions: List[RegionSpec],
-                   qual: Optional[np.ndarray] = None):
+                   qual: Optional[np.ndarray] = None,
+                   runs: Optional[List[SolidRun]] = None,
+                   wps: Optional[List[SolidRun]] = None):
         """Returns list of segments: ('raw'|'solid', a, b) or ('region', idx)
         or ('splice', codes, qual)."""
         k = self.cdbg.k
@@ -208,10 +210,12 @@ class Corrector:
         # (Correction.cpp:779,808,941)
         self._max_q = qual if (qual is not None
                                and self.opt.skip_max_quality_regions) else None
-        runs = filter_runs_by_color(find_runs(self.cdbg, codes), self.colors)
+        if runs is None:
+            runs = filter_runs_by_color(find_runs(self.cdbg, codes), self.colors)
         if not runs:
             return [("raw", 0, L)]
-        runs = self._add_waypoints(codes, runs)
+        if wps:
+            runs = sorted(runs + wps, key=lambda r: r.s)
         segs: list = []
         r0 = runs[0]
         if r0.s > 0 and self._span_max_quality(0, r0.s):
@@ -262,43 +266,62 @@ class Corrector:
             segs.append(("region", len(regions) - 1))
         return segs
 
-    def _add_waypoints(self, codes: np.ndarray, runs: List[SolidRun]
-                       ) -> List[SolidRun]:
-        """Insert weak (1-edit) seed waypoints into long anchor-free spans.
+    def _plan_seeds(self, reads: List[np.ndarray],
+                    quals: Optional[Sequence[Optional[np.ndarray]]],
+                    haps: List[int]):
+        """Solid runs + weak-seed waypoints for a whole batch.
 
-        The reference corrects a weak region waypoint-to-waypoint across its
-        inexact seeds (extractSemiWeakPaths, Correction.cpp:3-157; seeds from
-        the masked inexact re-search, Graph.cpp:100-196). Here every long gap
-        / head / tail gets 1-edit seeds probed against the index, and a
-        color-consistent, spaced subset becomes pseudo-anchors: the planner
-        then cuts the span into short CLOSED legs the beam can certify.
+        Waypoints re-express the reference's inexact re-search + semi-weak
+        path hops (extractSemiWeakPaths, Correction.cpp:3-157; seeds from the
+        masked inexact re-search, Graph.cpp:100-196): every long anchor-free
+        span gets 1-edit seeds probed against the index, and a
+        color-consistent, spaced subset becomes pseudo-anchors that cut the
+        span into short CLOSED legs the beam can certify. All spans of all
+        reads are probed in ONE batched pass (find_weak_seeds_batch) — the
+        per-span probe loop was the dominant host cost.
         """
         opt = self.opt
+        runs_list = [filter_runs_by_color(find_runs(self.cdbg, r), self.colors)
+                     for r in reads]
+        wps_list: List[List[SolidRun]] = [[] for _ in reads]
         if not opt.use_weak_seeds:
-            return runs
+            return runs_list, wps_list
         k = self.cdbg.k
-        L = len(codes)
         min_gap = opt.weak_seed_min_gap
-        space = opt.weak_seed_min_space
-        wps: List[SolidRun] = []
-
-        def probe(a, b, flank_rows):
-            if b - a < min_gap or self._span_max_quality(a, b):
-                return
-            seeds = find_weak_seeds(self.cdbg, codes, a, b)
-            wps.extend(select_waypoints(
-                seeds, self.colors, flank_rows,
-                min_cov=opt.min_cov_vertices, min_space=space, lo=a, hi=b - k))
-
-        r0, last = runs[0], runs[-1]
-        probe(0, r0.s, self._region_colors(r0.uid))
-        for run, nxt in zip(runs, runs[1:]):
-            raw_a = run.e + (run.rspan or k)
-            probe(raw_a, nxt.s + k, self._region_colors(run.uid, nxt.uid))
-        probe(last.e + (last.rspan or k), L, self._region_colors(last.uid))
-        if not wps:
-            return runs
-        return sorted(runs + wps, key=lambda r: r.s)
+        requests = []   # (read_idx, a, b, (uid1, uid2))
+        for i, (codes, runs) in enumerate(zip(reads, runs_list)):
+            if not runs:
+                continue
+            q = quals[i] if quals is not None else None
+            self._max_q = q if (q is not None
+                                and opt.skip_max_quality_regions) else None
+            L = len(codes)
+            r0, last = runs[0], runs[-1]
+            spans = [(0, r0.s, (r0.uid, -1))]
+            for run, nxt in zip(runs, runs[1:]):
+                spans.append((run.e + (run.rspan or k), nxt.s + k,
+                              (run.uid, nxt.uid)))
+            spans.append((last.e + (last.rspan or k), L, (last.uid, -1)))
+            for a, b, fl in spans:
+                if b - a < min_gap or self._span_max_quality(a, b):
+                    continue
+                requests.append((i, a, b, fl))
+        self._max_q = None
+        if not requests:
+            return runs_list, wps_list
+        seeds_per_span = find_weak_seeds_batch(
+            self.cdbg, reads, [(r[0], r[1], r[2]) for r in requests],
+            stride=opt.weak_seed_stride)
+        for (i, a, b, fl), seeds in zip(requests, seeds_per_span):
+            if not seeds:
+                continue
+            self._cur_hap = haps[i]
+            flank = self._region_colors(fl[0], fl[1])
+            wps_list[i].extend(select_waypoints(
+                seeds, self.colors, flank, min_cov=opt.min_cov_vertices,
+                min_space=opt.weak_seed_min_space, lo=a, hi=b - k))
+        self._cur_hap = -1
+        return runs_list, wps_list
 
     def _splice_iupac(self, run, splice: np.ndarray, tgt: np.ndarray,
                       k: int) -> Optional[np.ndarray]:
@@ -664,12 +687,16 @@ class Corrector:
         regions: List[RegionSpec] = []
         plans = []
         t0 = _time.time()
-        for i, r in enumerate(reads):
-            self._cur_hap = (self.hap.hap_of(names[i])
-                             if self.hap is not None and names is not None else -1)
+        reads_np = [np.asarray(r, dtype=np.uint8) for r in reads]
+        haps = [(self.hap.hap_of(names[i])
+                 if self.hap is not None and names is not None else -1)
+                for i in range(len(reads))]
+        runs_list, wps_list = self._plan_seeds(reads_np, quals, haps)
+        for i, r in enumerate(reads_np):
+            self._cur_hap = haps[i]
             q = quals[i] if quals is not None else None
-            plans.append(self._plan_read(i, np.asarray(r, dtype=np.uint8),
-                                         regions, qual=q))
+            plans.append(self._plan_read(i, r, regions, qual=q,
+                                         runs=runs_list[i], wps=wps_list[i]))
         self._cur_hap = -1
         self.timers["plan"] += _time.time() - t0
         self._execute_regions(regions)

@@ -12,7 +12,7 @@ work.
 from __future__ import annotations
 
 import dataclasses
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
@@ -86,6 +86,319 @@ def find_runs(cdbg: Cdbg, codes: np.ndarray) -> List[SolidRun]:
                      direction=int(direction[s]), o_s=int(o[s]))
             for s, e in zip(starts, ends)]
 
+
+# ---------------------------------------------------------------------------
+# 128-bit packed-window surgery (vectorized over window positions).
+#
+# A window of m bases is the 2m-bit number N = hi * 2^64 + lo (ops/kmers.py
+# layout). All 1-edit variants are produced by static-shift bit surgery on N,
+# and each variant's reverse complement by the mirrored surgery on the
+# (once-per-position) reverse-complemented window — so the expensive
+# reverse2bit64 runs per position, not per variant.
+# ---------------------------------------------------------------------------
+
+_FULL64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _shl128(hi, lo, s: int):
+    if s == 0:
+        return hi, lo
+    if s == 64:
+        return lo, np.zeros_like(lo)
+    if s > 64:
+        return (lo << np.uint64(s - 64)) & _FULL64, np.zeros_like(lo)
+    return (((hi << np.uint64(s)) & _FULL64) | (lo >> np.uint64(64 - s)),
+            (lo << np.uint64(s)) & _FULL64)
+
+
+def _shr128(hi, lo, s: int):
+    if s == 0:
+        return hi, lo
+    if s == 64:
+        return np.zeros_like(hi), hi
+    if s > 64:
+        return np.zeros_like(hi), hi >> np.uint64(s - 64)
+    return (hi >> np.uint64(s),
+            (lo >> np.uint64(s)) | ((hi << np.uint64(64 - s)) & _FULL64))
+
+
+def _mask128(n: int):
+    if n <= 0:
+        return np.uint64(0), np.uint64(0)
+    if n < 64:
+        return np.uint64(0), np.uint64((1 << n) - 1)
+    if n == 64:
+        return np.uint64(0), _FULL64
+    if n < 128:
+        return np.uint64((1 << (n - 64)) - 1), _FULL64
+    return _FULL64, _FULL64
+
+
+def _set_base128(hi, lo, m: int, p: int, b: int):
+    """Window base p (leftmost = 0) of m-base windows set to b."""
+    s = 2 * (m - 1 - p)
+    if s >= 64:
+        return ((hi & ~(np.uint64(3) << np.uint64(s - 64)))
+                | np.uint64(b << (s - 64)), lo)
+    return hi, (lo & ~(np.uint64(3) << np.uint64(s))) | np.uint64(b << s)
+
+
+def _get_base128(hi, lo, m: int, p: int):
+    s = 2 * (m - 1 - p)
+    if s >= 64:
+        return (hi >> np.uint64(s - 64)) & np.uint64(3)
+    return (lo >> np.uint64(s)) & np.uint64(3)
+
+
+def _drop_base128(hi, lo, m: int, p: int):
+    """Drop base p of m-base windows -> (m-1)-base windows."""
+    uh, ul = _shr128(hi, lo, 2 * (m - p))
+    mh, ml = _mask128(2 * (m - 1 - p))
+    sh, sl = _shl128(uh, ul, 2 * (m - 1 - p))
+    return sh | (hi & mh), sl | (lo & ml)
+
+
+def _insert_base128(hi, lo, m: int, p: int, b: int):
+    """Insert base b before index p of m-base windows -> (m+1)-base windows."""
+    uh, ul = _shr128(hi, lo, 2 * (m - p))
+    mh, ml = _mask128(2 * (m - p))
+    sh, sl = _shl128(uh, ul, 2 * (m - p + 1))
+    s = 2 * (m - p)
+    if s >= 64:
+        sh = sh | np.uint64(b << (s - 64))
+    else:
+        sl = sl | np.uint64(b << s)
+    return sh | (hi & mh), sl | (lo & ml)
+
+
+def _canonical_variants(codes: np.ndarray, k: int, kind: str,
+                        span_starts: np.ndarray, stride: int = 1,
+                        prefilter=None):
+    """Canonical 1-edit variant keys of all m-base windows of `codes`.
+
+    kind: 'sub' (m=k), 'del' (m=k+1: the read has an extra base), 'ins'
+    (m=k-1: the read lost a base). Invalid windows (containing code >= 4,
+    including span separators) are skipped; with stride > 1 only window
+    positions aligned to stride within their span are probed.
+
+    Returns (chi, clo, is_fw, wpos) — canonical two-word keys (chi all-zero
+    when 2k <= 64), read-vs-canonical orientation, and window start positions.
+    """
+    import ratatosk_tpu.ops.kmers as K
+    m = k + (1 if kind == "del" else (-1 if kind == "ins" else 0))
+    empty = (np.zeros(0, np.uint64), np.zeros(0, np.uint64),
+             np.zeros(0, bool), np.zeros(0, np.int64))
+    if len(codes) < m:
+        return empty
+    packed = K.pack_kmers(codes, m, np)
+    if m <= 32:
+        wlo, valid = packed
+        whi = np.zeros_like(wlo)
+    else:
+        whi, wlo, valid = packed
+    pos = np.flatnonzero(valid)
+    if stride > 1 and pos.size:
+        sidx = np.searchsorted(span_starts, pos, side="right") - 1
+        pos = pos[(pos - span_starts[sidx]) % stride == 0]
+    if pos.size == 0:
+        return empty
+    whi, wlo = whi[pos], wlo[pos]
+    if m <= 32:
+        rlo = K.revcomp_kmer(wlo, m, np)
+        rhi = np.zeros_like(rlo)
+    else:
+        rhi, rlo = K.revcomp_kmer2(whi, wlo, m, np)
+
+    vh_l, vl_l, fw_l, p_l = [], [], [], []
+
+    def emit(vh, vl, rvh, rvl, sel=None):
+        if sel is not None:
+            vh, vl, rvh, rvl = vh[sel], vl[sel], rvh[sel], rvl[sel]
+            pp = pos[sel]
+        else:
+            pp = pos
+        is_fw = (vh < rvh) | ((vh == rvh) & (vl <= rvl))
+        ch = np.where(is_fw, vh, rvh)
+        cl = np.where(is_fw, vl, rvl)
+        if prefilter is not None:
+            # reject absent keys NOW so per-variant arrays never accumulate
+            import ratatosk_tpu.ops.kmers as KM
+            tbl, bits = prefilter
+            qh = KM.hash_kmer2(ch, cl, np) if k > 32 else KM.hash_kmer(cl, np)
+            keep = tbl[(qh >> np.uint64(64 - bits)).astype(np.int64)]
+            if not keep.any():
+                return
+            ch, cl, is_fw, pp = ch[keep], cl[keep], is_fw[keep], pp[keep]
+        vh_l.append(ch)
+        vl_l.append(cl)
+        fw_l.append(is_fw)
+        p_l.append(pp)
+
+    if kind == "sub":
+        for p in range(k):
+            orig = _get_base128(whi, wlo, m, p)
+            for b in range(4):
+                sel = orig != np.uint64(b)
+                vh, vl = _set_base128(whi, wlo, m, p, b)
+                rvh, rvl = _set_base128(rhi, rlo, m, m - 1 - p, 3 - b)
+                emit(vh, vl, rvh, rvl, sel)
+    elif kind == "del":
+        # dropping window base 0 or k equals a shifted exact window
+        for p in range(1, k):
+            vh, vl = _drop_base128(whi, wlo, m, p)
+            rvh, rvl = _drop_base128(rhi, rlo, m, m - 1 - p)
+            emit(vh, vl, rvh, rvl)
+    elif kind == "ins":
+        for p in range(1, k):
+            for b in range(4):
+                vh, vl = _insert_base128(whi, wlo, m, p, b)
+                rvh, rvl = _insert_base128(rhi, rlo, m, m - p, 3 - b)
+                emit(vh, vl, rvh, rvl)
+    else:
+        raise ValueError(kind)
+    return (np.concatenate(vh_l), np.concatenate(vl_l),
+            np.concatenate(fw_l), np.concatenate(p_l))
+
+
+def _probe_prefilter(index, bits: Optional[int] = None):
+    """Hashed occupancy bitmap over the index keys (cached on the index).
+
+    Random 1-edit variant k-mers almost never exist in the graph; one gather
+    into this table rejects ~(1 - n/2^bits) of them before the exact sorted
+    lookup — the searchsorted pass then runs on survivors only.
+    """
+    cached = getattr(index, "_probe_prefilter", None)
+    if cached is not None:
+        return cached
+    import ratatosk_tpu.ops.kmers as K
+    n = max(int(index.n), 1)
+    if bits is None:
+        bits = min(28, max(20, int(np.ceil(np.log2(8 * n)))))
+    lo = np.asarray(index.keys_lo)
+    if index.two_word:
+        h = K.hash_kmer2(np.asarray(index.keys_hi), lo, np)
+    else:
+        h = K.hash_kmer(lo, np)
+    tbl = np.zeros(1 << bits, dtype=bool)
+    tbl[(h >> np.uint64(64 - bits)).astype(np.int64)] = True
+    cached = (tbl, bits)
+    try:
+        setattr(index, "_probe_prefilter", cached)
+    except AttributeError:
+        pass
+    return cached
+
+
+def find_weak_seeds_batch(cdbg: Cdbg, reads, spans, *, subs: bool = True,
+                          indels: bool = True, stride: int = 1,
+                          max_hits_per_pos: int = 1) -> List[List[SolidRun]]:
+    """Inexact (1-edit) seeds for many read spans in ONE index probe.
+
+    TPU-native re-expression of the reference's masked inexact re-search
+    (getSeeds, Graph.cpp:100-196 builds l_s and calls
+    searchSequence(l_s, false, true, true, true, true)): all spans of a batch
+    are concatenated (separated by an invalid base so no window crosses a
+    boundary), every 1-edit variant key of every probed window is generated by
+    vectorized bit surgery, canonicalized against a once-per-position
+    reverse-complement, and resolved in ONE sorted-index lookup. Positions hit
+    by more than `max_hits_per_pos` distinct unitig placements are dropped
+    (the conflict-suppression role of keep_non_overlap,
+    Alignment.cpp:1017-1199).
+
+    spans: list of (read_idx, a, b). Returns, per span, single-k-mer
+    SolidRuns with weak=True, absolute read positions, rspan in {k-1, k, k+1}.
+    Substitutions and 1-bp indels are probed for every k <= 63 (two-word
+    included — reference searchSequence probes indels too, Graph.cpp:100-196).
+    """
+    import ratatosk_tpu.ops.kmers as K  # noqa: F401 (kept for parity with callers)
+    k = cdbg.k
+    out: List[List[SolidRun]] = [[] for _ in spans]
+    if not spans:
+        return out
+    parts, starts = [], []
+    off = 0
+    sep = np.array([4], np.uint8)
+    for ri, a, b in spans:
+        seg = np.asarray(reads[ri][a:b], dtype=np.uint8)
+        starts.append(off)
+        parts.append(seg)
+        parts.append(sep)
+        off += len(seg) + 1
+    concat = np.concatenate(parts)
+    starts_arr = np.asarray(starts, np.int64)
+
+    kinds = []
+    if subs:
+        kinds.append(("sub", k))
+    if indels and k <= 63:
+        kinds.append(("del", k + 1))
+        kinds.append(("ins", k - 1))
+    prefilter = _probe_prefilter(cdbg.index)
+    chs, cls, fws, poss, rsps = [], [], [], [], []
+    for kind, rspan in kinds:
+        ch, cl, fw, wp = _canonical_variants(concat, k, kind, starts_arr,
+                                             stride=stride,
+                                             prefilter=prefilter)
+        chs.append(ch)
+        cls.append(cl)
+        fws.append(fw)
+        poss.append(wp)
+        rsps.append(np.full(len(wp), rspan, np.int32))
+    if not chs:
+        return out
+    cl_cat = np.concatenate(cls)
+    ch_cat = np.concatenate(chs)
+    fw_cat = np.concatenate(fws)
+    pos_cat = np.concatenate(poss)
+    rsp_cat = np.concatenate(rsps)
+    if cl_cat.size == 0:
+        return out
+
+    index_keys = KeyArray(k, np.asarray(cdbg.index.keys_lo),
+                          np.asarray(cdbg.index.keys_hi)
+                          if cdbg.index.two_word else None)
+    rows = index_keys.find(KeyArray(k, cl_cat, ch_cat if k > 32 else None))
+    hit = rows >= 0
+    if not hit.any():
+        return out
+    r = rows[hit]
+    uid = np.asarray(cdbg.index.unitig_id)[r].astype(np.int64)
+    direction = np.where(fw_cat[hit] == np.asarray(cdbg.index.strand)[r], 0, 1)
+    o = np.where(direction == 0, np.asarray(cdbg.index.pos)[r],
+                 cdbg.nkmers[uid] - 1 - np.asarray(cdbg.index.pos)[r])
+    gpos = pos_cat[hit]
+    si = np.searchsorted(starts_arr, gpos, side="right") - 1
+    rpos = gpos - starts_arr[si]
+    rsp = rsp_cat[hit]
+
+    # dedupe identical placements, then keep positions with a unique placement
+    order = np.lexsort((rsp, o, direction, uid, rpos, si))
+    si, rpos, uid, direction, o, rsp = (x[order] for x in
+                                        (si, rpos, uid, direction, o, rsp))
+    same = ((si[1:] == si[:-1]) & (rpos[1:] == rpos[:-1])
+            & (uid[1:] == uid[:-1]) & (direction[1:] == direction[:-1])
+            & (o[1:] == o[:-1]) & (rsp[1:] == rsp[:-1]))
+    keep = np.concatenate([[True], ~same])
+    si, rpos, uid, direction, o, rsp = (x[keep] for x in
+                                        (si, rpos, uid, direction, o, rsp))
+    gnew = np.concatenate([[True], (si[1:] != si[:-1]) | (rpos[1:] != rpos[:-1])])
+    gid = np.cumsum(gnew) - 1
+    gcnt = np.bincount(gid)
+    sel = np.flatnonzero(gnew & (gcnt[gid] <= max_hits_per_pos))
+    for j in sel:
+        s_i = int(si[j])
+        a = spans[s_i][1]
+        out[s_i].append(SolidRun(s=a + int(rpos[j]), e=a + int(rpos[j]),
+                                 uid=int(uid[j]), direction=int(direction[j]),
+                                 o_s=int(o[j]), weak=True, rspan=int(rsp[j])))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Straight-line variant generators. Retained as independent oracles for the
+# 128-bit surgery above (tests/test_weak_seeds.py cross-checks both against
+# brute-force window edits); the production probe is find_weak_seeds_batch.
+# ---------------------------------------------------------------------------
 
 def _variant_keys_sub(lo: np.ndarray, k: int):
     """All 1-substitution variants of packed one-word k-mers.
@@ -172,88 +485,15 @@ def _variant_keys_ins(w: np.ndarray, k: int):
 
 def find_weak_seeds(cdbg: Cdbg, codes: np.ndarray, a: int, b: int,
                     *, subs: bool = True, indels: bool = True,
+                    stride: int = 1,
                     max_hits_per_pos: int = 1) -> List[SolidRun]:
-    """Inexact (1-edit) seeds inside read span [a, b).
-
-    TPU-native re-expression of the reference's masked inexact re-search
-    (getSeeds, Graph.cpp:100-196 builds l_s and calls
-    searchSequence(l_s, false, true, true, true, true)): instead of an
-    approximate-membership automaton, every 1-edit variant key of every window
-    is generated with vectorized bit surgery and probed against the sorted
-    canonical index in one searchsorted pass. Positions hit by more than
-    `max_hits_per_pos` distinct unitig placements are dropped (the conflict
-    suppression role of keep_non_overlap, Alignment.cpp:1017-1199).
-
-    Returns single-k-mer SolidRuns with weak=True, rspan in {k-1, k, k+1}.
-    One-word k (<=32) probes substitutions + 1-bp indels; two-word k (pass 2,
-    k<=64) probes substitutions.
-    """
-    import ratatosk_tpu.ops.kmers as K
-    k = cdbg.k
-    if b - a < k:
+    """Inexact (1-edit) seeds inside read span [a, b) — single-span wrapper
+    over `find_weak_seeds_batch` (the batched probe is the production path)."""
+    if b - a < cdbg.k:
         return []
-    span = codes[a:b].astype(np.uint8)
-    two_word = k > 32
-    key_groups = []   # (hi_or_None, lo, read_pos, rspan)
-    if two_word:
-        if subs and len(span) >= k:
-            ka, valid = KeyArray.from_codes(span, k)
-            hi_k, lo_k, idx = _variant_keys_sub2(ka.hi[valid], ka.lo[valid], k)
-            pos_map = np.flatnonzero(valid).astype(np.int32)
-            key_groups.append((hi_k, lo_k, pos_map[idx], k))
-    else:
-        if subs and len(span) >= k:
-            ka, valid = KeyArray.from_codes(span, k)
-            keys, idx = _variant_keys_sub(ka.lo[valid], k)
-            pos_map = np.flatnonzero(valid).astype(np.int32)
-            key_groups.append((None, keys, pos_map[idx], k))
-        if indels and len(span) >= k + 1 and 2 * (k + 1) <= 64:
-            kp1, valid = KeyArray.from_codes(span, k + 1)
-            keys, idx = _variant_keys_del(kp1.lo[valid], k)
-            pos_map = np.flatnonzero(valid).astype(np.int32)
-            key_groups.append((None, keys, pos_map[idx], k + 1))
-        if indels and len(span) >= k - 1:
-            km1, valid = KeyArray.from_codes(span, k - 1)
-            keys, idx = _variant_keys_ins(km1.lo[valid], k)
-            pos_map = np.flatnonzero(valid).astype(np.int32)
-            key_groups.append((None, keys, pos_map[idx], k - 1))
-    if not key_groups:
-        return []
-
-    index_keys = KeyArray(k, np.asarray(cdbg.index.keys_lo),
-                          np.asarray(cdbg.index.keys_hi) if two_word else None)
-    uid_arr = np.asarray(cdbg.index.unitig_id)
-    pos_arr = np.asarray(cdbg.index.pos)
-    strand_arr = np.asarray(cdbg.index.strand)
-    nk = cdbg.nkmers
-
-    found: dict = {}   # read_pos -> set of (uid, direction, o, rspan)
-    for hi_k, lo_k, rpos, rspan in key_groups:
-        if two_word:
-            chi, clo, is_fw = K.canonical_kmer2(hi_k, lo_k, k, np)
-            rows = index_keys.find(KeyArray(k, clo, chi))
-        else:
-            clo, is_fw = K.canonical_kmer(lo_k, k, np)
-            rows = index_keys.find(KeyArray(k, clo, None))
-        hit = rows >= 0
-        if not hit.any():
-            continue
-        r = rows[hit]
-        uid = uid_arr[r]
-        direction = np.where(is_fw[hit] == strand_arr[r], 0, 1)
-        o = np.where(direction == 0, pos_arr[r], nk[uid] - 1 - pos_arr[r])
-        for rp, u, d, oo in zip(rpos[hit], uid, direction, o):
-            found.setdefault(int(rp), set()).add((int(u), int(d), int(oo), rspan))
-
-    seeds = []
-    for rp in sorted(found):
-        hits = found[rp]
-        if len(hits) > max_hits_per_pos:
-            continue   # ambiguous placement: conflicting variants, drop
-        u, d, oo, rspan = next(iter(hits))
-        seeds.append(SolidRun(s=a + rp, e=a + rp, uid=u, direction=d, o_s=oo,
-                              weak=True, rspan=rspan))
-    return seeds
+    return find_weak_seeds_batch(cdbg, [codes], [(0, a, b)], subs=subs,
+                                 indels=indels, stride=stride,
+                                 max_hits_per_pos=max_hits_per_pos)[0]
 
 
 def select_waypoints(seeds: List[SolidRun], colors: GraphColors,

@@ -90,6 +90,72 @@ def test_variant_keys_indel_oracle():
     assert got == want
 
 
+def test_canonical_variants_oracle():
+    """128-bit window surgery == brute-force edit + pack + canonicalize,
+    across one-word/two-word k and all three edit kinds."""
+    from ratatosk_tpu.correct.seeds import _canonical_variants
+
+    def brute(codes, k, kind):
+        out = set()
+        m = k + (1 if kind == "del" else (-1 if kind == "ins" else 0))
+        for i in range(len(codes) - m + 1):
+            w = codes[i:i + m]
+            if (w >= 4).any():
+                continue
+            vs = []
+            if kind == "sub":
+                for p in range(k):
+                    for b in range(4):
+                        if b != w[p]:
+                            v = w.copy(); v[p] = b; vs.append(v)
+            elif kind == "del":
+                for p in range(1, k):
+                    vs.append(np.delete(w, p))
+            else:
+                for p in range(1, k):
+                    for b in range(4):
+                        vs.append(np.insert(w, p, b))
+            for v in vs:
+                if k <= 32:
+                    lo, _ = K.pack_kmers(v, k, np)
+                    c, fw = K.canonical_kmer(lo[:1], k, np)
+                    out.add((i, 0, int(c[0]), bool(fw[0])))
+                else:
+                    hi, lo, _ = K.pack_kmers(v, k, np)
+                    ch, cl, fw = K.canonical_kmer2(hi[:1], lo[:1], k, np)
+                    out.add((i, int(ch[0]), int(cl[0]), bool(fw[0])))
+        return out
+
+    rng = np.random.default_rng(7)
+    for k in (7, 31, 32, 33, 63):
+        codes = rng.integers(0, 4, 2 * k + 9).astype(np.uint8)
+        codes[k + 2] = 4    # invalid base: windows covering it are skipped
+        for kind in ("sub", "del", "ins"):
+            ch, cl, fw, pos = _canonical_variants(codes, k, kind, np.array([0]))
+            got = set(zip(pos.tolist(), ch.tolist(), cl.tolist(), fw.tolist()))
+            assert got == brute(codes, k, kind), (k, kind)
+
+
+def test_batch_probe_matches_single_span():
+    rng = np.random.default_rng(11)
+    genome, sreads, cdbg = _small_graph(rng)
+    spans = []
+    reads = []
+    for i in range(3):
+        a = 500 + 1500 * i
+        span = genome[a:a + 400].copy()
+        for p in range(7, 400, 40):
+            span[p] = (span[p] + 1) % 4
+        reads.append(span)
+        spans.append((i, 0, len(span)))
+    from ratatosk_tpu.correct.seeds import find_weak_seeds_batch
+    batch = find_weak_seeds_batch(cdbg, reads, spans)
+    for i, span in enumerate(reads):
+        single = find_weak_seeds(cdbg, span, 0, len(span))
+        key = lambda s: (s.s, s.uid, s.direction, s.o_s, s.rspan)
+        assert sorted(map(key, batch[i])) == sorted(map(key, single))
+
+
 def _small_graph(rng, glen=6000, k=31):
     genome = testing.random_genome(rng, glen)
     sreads = testing.short_reads(rng, genome, coverage=40.0)
