@@ -10,9 +10,12 @@ edlib.h:102-107, reshaped for SPMD), so each step costs one vectorized row
 update over the whole batch (ARCHITECTURE.md §6).
 
 Because every live entry emits exactly one base per step, the band's window
-start is a per-step scalar (ws = clip(i - W/2, 0, NT+1-W)) — window slicing
-is a scalar dynamic_slice, never a per-lane gather. With W >= NT+1 the band
-covers the whole row and the search is exact.
+start is one scalar per region (ws_r = clip(i - W/2, 0, tl_r+1-W): it tracks
+the step until it stalls at the region's own tail) — window slicing is a
+per-region dynamic_slice of one W-wide row, never a per-lane gather inside
+the beam dimension. The per-region clip lets regions of very different
+lengths share one bucket shape. With W >= NT+1 the band covers the whole row
+and the search is exact.
 
 Per step, an entry mid-unitig emits its unitig's next base deterministically;
 an entry at a unitig boundary branches into <=4 successors filtered by
@@ -57,6 +60,9 @@ class RegionBatch(NamedTuple):
     end_tip: jnp.ndarray     # int32 [R] right anchor tip, -1 = open region
     end_off: jnp.ndarray     # int32 [R] `off` value that completes the region
     colors_sig: jnp.ndarray  # int8 [R, SIG_BINS] hashed region color signature
+                             # (0/1: the unweighted >= min_cov edge filter)
+    colors_wsig: jnp.ndarray # int8 [R, SIG_BINS] weighted signature (the
+                             # WeightsPairID score, Correction.cpp:417-427)
     max_plen: jnp.ndarray    # int32 [R] path length budget (+-25% window,
                              # getMinMaxLength, Common.hpp:435-438)
 
@@ -67,6 +73,10 @@ class BeamState(NamedTuple):
     plen: jnp.ndarray    # int32 [R, B]
     seq: jnp.ndarray     # uint8 [R, B, L]
     rwin: jnp.ndarray    # int32 [R, B, W] DP-row band at window ws(step)
+    btgt: jnp.ndarray    # uint8 [R, W] target masks at window ws(step),
+                         # carried incrementally: ws advances by <=1 per step,
+                         # so the window update is one fetched column, not a
+                         # per-row W-wide gather
     live: jnp.ndarray    # bool [R, B] slot holds a real path
     frozen: jnp.ndarray  # bool [R, B] stopped (completed/dead end/over budget)
     compl_: jnp.ndarray  # bool [R, B] reached the right anchor
@@ -86,11 +96,20 @@ class BeamResult(NamedTuple):
     n_done: jnp.ndarray       # int32 [R]
 
 
-def _window_start(i, nt1: int, w: int):
-    """Band start column at step i (scalar, shared by every live entry)."""
+def _window_start(i, tgt_len, nt1: int, w: int):
+    """Band start column at step i: int32 [R], shared by a region's entries
+    (all live entries carry plen == i).
+
+    The upper clip is PER REGION (tl+1-w, not the bucket's nt1-w): once the
+    path outruns the target the window must stall covering the target's tail,
+    or frozen captures (prefix dist / NW dist at col tl) read columns past
+    the region's end and come back BIG. With one clip per bucket that only
+    held when NT ~= tl — i.e. it silently required one bucket per length.
+    """
     if w >= nt1:
-        return jnp.int32(0)
-    return jnp.clip(i - w // 2, 0, nt1 - w).astype(jnp.int32)
+        return jnp.zeros(tgt_len.shape, jnp.int32)
+    hi = jnp.maximum(tgt_len + 1 - w, 0)
+    return jnp.clip(i - w // 2, 0, hi).astype(jnp.int32)
 
 
 def _band_dists(row, cols, tgt_len):
@@ -127,7 +146,8 @@ def _band_dists_from_d(dmat, cols, tgt_len):
     return dist_pref, end_max, jnp.minimum(dist_nw, BIG)
 
 
-def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
+def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
+               min_cov: int):
     R, B = st.tip.shape
     L = st.seq.shape[-1]
     W = st.rwin.shape[-1]
@@ -180,15 +200,22 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
         & (cand_off == rb.end_off[:, None, None]))
 
     # --- banded DP candidate scoring (no prefix-min scan here) ---
-    # every live entry has plen == i, so the band window start is a shared scalar;
-    # new row i+1 sits at window ws(i+1), shifted by delta in {0,1} vs ws(i)
-    ws = _window_start(i, nt1, W)
-    ws_next = _window_start(i + 1, nt1, W)
-    delta = ws_next - ws
-    cols = ws_next + jnp.arange(W, dtype=jnp.int32)          # [W] absolute j
-    # target mask for column j lives at tgt_masks[j-1]; pad col 0 with 0
-    padded_tgt = jnp.pad(rb.tgt_masks, ((0, 0), (1, 0)))
-    bslice = jax.lax.dynamic_slice_in_dim(padded_tgt, ws_next, W, axis=1)
+    # every live entry of a region has plen == i, so the band window start is
+    # one scalar per region; new row i+1 sits at window ws(i+1), shifted by
+    # delta in {0,1} vs ws(i)
+    ws = _window_start(i, rb.tgt_len, nt1, W)                # [R]
+    ws_next = _window_start(i + 1, rb.tgt_len, nt1, W)       # [R]
+    delta = (ws_next - ws)[:, None, None]                    # [R,1,1]
+    cols = ws_next[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]  # [R,W]
+    # advance the carried target window: fetch only the newly-exposed column.
+    # The fetch is a one-hot compare-and-reduce, not a gather — per-row
+    # dynamic gathers have a large fixed cost per step on TPU.
+    fetch = jnp.minimum(ws_next + (W - 1), nt1 - 1)[:, None]          # [R,1]
+    jcol = jax.lax.broadcasted_iota(jnp.int32, padded_tgt.shape, 1)
+    newcol = jnp.sum(jnp.where(jcol == fetch, padded_tgt, 0),
+                     axis=1, keepdims=True).astype(jnp.uint8)         # [R,1]
+    shifted = jnp.concatenate([st.btgt[:, 1:], newcol], axis=1)
+    bslice = jnp.where(delta[..., 0] == 1, shifted, st.btgt)  # [R, W]
 
     shiftL = jnp.concatenate([st.rwin[..., 1:],
                               jnp.full_like(st.rwin[..., :1], BIG)], axis=-1)
@@ -202,7 +229,7 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
            == 0).astype(jnp.int32)                           # [R,B,4,W]
     dmat = jnp.minimum(prev_jm1[:, :, None, :] + sub,
                        prev_j[:, :, None, :] + 1)
-    dmat = jnp.where(cols[None, None, None, :] == 0,
+    dmat = jnp.where(cols[:, None, None, :] == 0,
                      cand_plen[..., None], dmat)
     dmat = jnp.minimum(dmat, BIG)
 
@@ -212,12 +239,12 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
                    | (no_succ[..., None] & keep))
 
     tl = jnp.broadcast_to(rb.tgt_len[:, None, None], (R, B, 4))
-    cols4 = jnp.broadcast_to(cols[None, None, None, :], (R, B, 4, W))
+    cols4 = jnp.broadcast_to(cols[:, None, None, :], (R, B, 4, W))
     dist_pref, end_max, dist_nw = _band_dists_from_d(dmat, cols4, tl)
     # non-emitting (keep) slots: stats of the parent's current row, which
     # lives at window ws(i)
-    cols_prev = ws + jnp.arange(W, dtype=jnp.int32)
-    colsB = jnp.broadcast_to(cols_prev[None, None, :], (R, B, W))
+    cols_prev = ws[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    colsB = jnp.broadcast_to(cols_prev[:, None, :], (R, B, W))
     dist_pref_k, end_max_k, dist_nw_k = _band_dists(
         st.rwin, colsB, rb.tgt_len[:, None])
     dist_pref = jnp.where(emits, dist_pref, dist_pref_k[..., None])
@@ -266,8 +293,16 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
         cand_fdist.astype(jnp.float32),
         cand_fend.astype(jnp.float32),
         cand_branch.astype(jnp.float32),
-    ], axis=-1).reshape(R, C, 11)
-    selected = jnp.einsum("rbc,rcf->rbf", P, scalars,
+        valid.astype(jnp.float32),
+    ], axis=-1).reshape(R, C, 12)
+    # precision=HIGHEST is LOAD-BEARING on every einsum that moves integer
+    # state: TPU matmuls default to bf16 multiplication, which silently
+    # rounds any value > 256 (off 1113 -> 1112, plen 257 -> 256). A rounded
+    # plen freezes a path's progress without freezing the entry — an
+    # immortal zombie that keeps the while_loop from ever exiting early.
+    # f32 (HIGHEST) is exact for every field here (all < 2^24).
+    HI = jax.lax.Precision.HIGHEST
+    selected = jnp.einsum("rbc,rcf->rbf", P, scalars, precision=HI,
                           preferred_element_type=jnp.float32)
     new_tip = selected[..., 0].astype(jnp.int32)
     new_off = selected[..., 1].astype(jnp.int32)
@@ -280,23 +315,32 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
     new_fdist = selected[..., 8].astype(jnp.int32)
     new_fend = selected[..., 9].astype(jnp.int32)
     sel_branch = selected[..., 10] > 0.5
-    sel_score = jnp.einsum("rbc,rc->rb", P, fscore,
+    # a beam slot whose rank matched no candidate (fewer valid candidates
+    # than B) selects all-zeros: the valid flag kills it. Without this the
+    # slot becomes a live, never-emitting, never-freezing zombie and the
+    # all-frozen early exit below NEVER fires — every search runs to lmax.
+    new_live = selected[..., 11] > 0.5
+    sel_score = jnp.einsum("rbc,rc->rb", P, fscore, precision=HI,
                            preferred_element_type=jnp.float32)
-    new_live = sel_score > NEG / 2
+    new_live = new_live & (sel_score > NEG / 2)
 
     # post-selection color filter + color score on the B winners only
     # (|colors(successor) ∩ region colors| >= min_cov,
     # GraphTraversal.cpp:485-489, via hashed-signature dot)
     sel_sig = g.color_sig[jnp.maximum(new_tip >> 1, 0)]      # [R, B, H]
     shared = CS.intersect_count_sig(sel_sig, rb.colors_sig[:, None, :], jnp)
+    wshared = CS.intersect_count_sig(sel_sig, rb.colors_wsig[:, None, :], jnp)
     new_live = new_live & (~sel_branch | new_compl | (shared >= min_cov))
     new_ccsum = jnp.where(
         sel_branch,
-        new_ccsum + jnp.minimum(shared, _CAPC).astype(jnp.float32) / _CAPC,
+        new_ccsum + jnp.minimum(wshared, _CAPC).astype(jnp.float32) / _CAPC,
         new_ccsum)
 
     # sequences: parent one-hot matmul, then write the emitted base (the
     # candidate's slot index c&3) at column plen-1 via an iota mask
+    # Pp and seq_par stay at default (bf16) precision: operands are 0/1
+    # one-hots and 2-bit codes — exact in bf16 — and seq_par is the largest
+    # matmul of the step ([R,B,L]), so the fast path matters
     carange = jnp.arange(C, dtype=jnp.int32)
     mpar = (carange[:, None] >> 2 == jnp.arange(B, dtype=jnp.int32)[None, :]
             ).astype(jnp.float32)                            # [C, B] const
@@ -305,7 +349,7 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
     seq_par = jnp.einsum("rbp,rpl->rbl", Pp, st.seq.astype(jnp.float32),
                          preferred_element_type=jnp.float32)
     sel_c = jnp.einsum("rbc,c->rb", P, (carange & 3).astype(jnp.float32),
-                       preferred_element_type=jnp.float32)
+                       precision=HI, preferred_element_type=jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (R, B, L), 2)
     wmask = sel_emit[..., None] & (col == (new_plen - 1)[..., None])
     seq_new = jnp.where(wmask, sel_c[..., None], seq_par).astype(jnp.uint8)
@@ -313,7 +357,10 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
     # --- rebuild the winners' DP rows (prefix-min scan on B rows only) ---
     # gather each winner's parent row, then redo the one-row update for the
     # selected base; non-emitting winners keep the parent row verbatim
+    # DP row values reach BIG=2^20: bf16 would quantize them (multiples of
+    # 4096 up there) and corrupt every carried row — HIGHEST is required
     rwin_par = jnp.einsum("rbp,rpw->rbw", Pp, st.rwin.astype(jnp.float32),
+                          precision=HI,
                           preferred_element_type=jnp.float32).astype(jnp.int32)
     shiftL_s = jnp.concatenate([rwin_par[..., 1:],
                                 jnp.full_like(rwin_par[..., :1], BIG)], axis=-1)
@@ -325,16 +372,16 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, st: BeamState, i, min_cov: int):
     sub_s = (((jnp.int32(1) << sel_ci)[..., None]
               & bslice[:, None, :].astype(jnp.int32)) == 0).astype(jnp.int32)
     d_sel = jnp.minimum(prev_jm1_s + sub_s, prev_j_s + 1)
-    d_sel = jnp.where(cols[None, None, :] == 0, new_plen[..., None], d_sel)
+    d_sel = jnp.where(cols[:, None, :] == 0, new_plen[..., None], d_sel)
     d_sel = jnp.minimum(d_sel, BIG)
-    e_sel = cols[None, None, :] + jax.lax.cummin(d_sel - cols[None, None, :],
-                                                 axis=2)
+    e_sel = cols[:, None, :] + jax.lax.cummin(d_sel - cols[:, None, :],
+                                              axis=2)
     e_sel = jnp.minimum(e_sel, BIG)
     new_rwin_sel = jnp.where(sel_emit[..., None], e_sel, rwin_par)
 
     return BeamState(
         tip=new_tip, off=new_off, plen=new_plen,
-        seq=seq_new, rwin=new_rwin_sel,
+        seq=seq_new, rwin=new_rwin_sel, btgt=bslice,
         live=new_live, frozen=new_frozen, compl_=new_compl,
         fdist=new_fdist, fend=new_fend,
         ccsum=new_ccsum, nvis=new_nvis,
@@ -351,12 +398,17 @@ def beam_search(g: DeviceGraph, rb: RegionBatch, *, beam: int, lmax: int,
     # initial window at ws(0)=0: row 0 is E[0][j] = j (NW boundary)
     rwin0 = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, None, :],
                              (R, beam, W))
+    # target mask for column j lives at tgt_masks[j-1]; pad col 0 with 0
+    padded_tgt = jnp.pad(rb.tgt_masks, ((0, 0), (1, 0)))
+    # carried window holds masks at ws(step); inside the step it advances by
+    # delta = ws(step+1) - ws(step) in {0,1} to become the next row's window
     st = BeamState(
         tip=jnp.where(slot0, rb.start_tip[:, None], -1).astype(jnp.int32),
         off=jnp.broadcast_to(rb.start_off[:, None], (R, beam)).astype(jnp.int32),
         plen=jnp.zeros((R, beam), jnp.int32),
         seq=jnp.zeros((R, beam, lmax), jnp.uint8),
         rwin=rwin0,
+        btgt=padded_tgt[:, :W],
         live=slot0,
         frozen=jnp.zeros((R, beam), bool),
         compl_=jnp.zeros((R, beam), bool),
@@ -374,7 +426,7 @@ def beam_search(g: DeviceGraph, rb: RegionBatch, *, beam: int, lmax: int,
 
     def body(carry):
         i, s = carry
-        return i + 1, _beam_step(g, rb, s, i, min_cov)
+        return i + 1, _beam_step(g, rb, padded_tgt, s, i, min_cov)
 
     _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
 

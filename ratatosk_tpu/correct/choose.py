@@ -1,0 +1,119 @@
+"""Priority-class color selection for weak regions — the chooseColors analog.
+
+Re-expresses the reference's `chooseColors` lambda + flank-anchor collection
+(Correction.cpp:215-429, 476-585): instead of unioning just the two anchor
+rows, a weak region is colored by the reads of the solid anchors within
+±insert_sz of it, partitioned into priority classes and filled into one
+capped row:
+
+  1. reads of the region's own two anchors           (in-region)
+  2. reads seen on BOTH flanks                       (strongest context)
+  3. one-side reads from NON-branching flank unitigs
+  4. one-side reads from branching flank unitigs
+
+Per-unitig contributions are capped at FLANK_COV ids (the reference's
+`cov=30` union cap, Correction.cpp:278-286) and flank collection stops after
+MAX_BRANCHING branching unitigs per side (Correction.cpp:476-585). Reads from
+non-branching unitigs get weight 2*max(n_unweighted/n_weighted, 1) — the
+WeightsPairID weighting (Correction.cpp:417-427) — which flows into the
+beam's color score through the weighted hashed signature
+(ops/colorset.color_signature(weights=...)).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ratatosk_tpu.ops import colorset as CS
+
+FLANK_COV = 30      # ids contributed per flank unitig (Correction.cpp:278-286)
+MAX_BRANCHING = 5   # branching unitigs collected per side (Correction.cpp:476+)
+
+
+def branching_mask(edge_support: np.ndarray) -> np.ndarray:
+    """bool [N]: unitig has >=2 read-supported successors or predecessors
+    (the UnitigData branching flag, Graph.cpp:1986-2021)."""
+    per_dir = edge_support.sum(axis=2)
+    return (per_dir >= 2).any(axis=1)
+
+
+def _flank_uids(runs, start: int, step: int, pos_lo: int, pos_hi: int,
+                branching: np.ndarray) -> List[int]:
+    """Unitigs of runs walking from `start` by `step` while the run lies
+    inside [pos_lo, pos_hi]; stops after MAX_BRANCHING branching unitigs."""
+    out: List[int] = []
+    n_branch = 0
+    j = start
+    while 0 <= j < len(runs):
+        r = runs[j]
+        if r.e < pos_lo or r.s > pos_hi:
+            break
+        out.append(r.uid)
+        if branching[r.uid]:
+            n_branch += 1
+            if n_branch >= MAX_BRANCHING:
+                break
+        j += step
+    return out
+
+
+def choose_region_colors(runs, li: Optional[int], ri: Optional[int],
+                         raw_a: int, raw_b: int, colors, branching: np.ndarray,
+                         insert_sz: int, cap: Optional[int] = None
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Color row + per-id weights for the weak region [raw_a, raw_b).
+
+    runs: the read's position-sorted SolidRun list; li/ri: indices of the
+    left/right anchor runs (None when the region is open on that side).
+    Returns (row [cap] sorted PAD-padded, weights [cap] int8).
+    """
+    cap = cap or colors.cap
+    rows = colors.rows
+
+    def uni(uids: List[int]) -> np.ndarray:
+        if not uids:
+            return np.zeros(0, dtype=np.int32)
+        parts = [rows[u][:FLANK_COV] for u in set(uids)]
+        ids = np.unique(np.concatenate(parts))
+        return ids[ids != CS.PAD]
+
+    anchor_uids = [runs[i].uid for i in (li, ri) if i is not None]
+    in_region = uni(anchor_uids)
+
+    left_uids = (_flank_uids(runs, li - 1, -1, raw_a - insert_sz, raw_a,
+                             branching) if li is not None and li > 0 else [])
+    right_uids = (_flank_uids(runs, ri + 1, +1, raw_b, raw_b + insert_sz,
+                              branching)
+                  if ri is not None and ri + 1 < len(runs) else [])
+    left_ids = uni(left_uids)
+    right_ids = uni(right_uids)
+    both = np.intersect1d(left_ids, right_ids)
+    one_side = np.setdiff1d(np.union1d(left_ids, right_ids), both)
+    nb_uids = [u for u in left_uids + right_uids if not branching[u]]
+    nb_ids = uni(nb_uids)
+    one_nb = np.intersect1d(one_side, nb_ids)
+    one_br = np.setdiff1d(one_side, one_nb)
+
+    row = np.full(cap, CS.PAD, dtype=np.int32)
+    wts = np.zeros(cap, dtype=np.int8)
+    # weighted class: reads of non-branching unitigs (incl. non-branching
+    # anchors); weight = 2 * max(n_unweighted / n_weighted, 1), saturated
+    anchors_nb = uni([u for u in anchor_uids if not branching[u]])
+    weighted_ids = np.union1d(nb_ids, anchors_nb)
+    n = 0
+    for ids in (in_region, both, one_nb, one_br):
+        take = ids[~np.isin(ids, row[:n])][:cap - n]
+        row[n:n + len(take)] = take
+        n += len(take)
+        if n >= cap:
+            break
+    n_w = int(np.isin(row[:n], weighted_ids).sum())
+    n_u = n - n_w
+    w_hi = min(2 * max(n_u // max(n_w, 1), 1), 8)
+    order = np.argsort(row, kind="stable")
+    row = row[order]
+    is_w = np.isin(row, weighted_ids) & (row != CS.PAD)
+    wts = np.where(row == CS.PAD, 0, np.where(is_w, w_hi, 1)).astype(np.int8)
+    return row, wts

@@ -32,12 +32,18 @@ from ratatosk_tpu.correct.graphdev import DeviceGraph
 from ratatosk_tpu.correct.seeds import (SolidRun, filter_runs_by_color,
                                         find_runs, find_weak_seeds_batch,
                                         select_waypoints)
+from ratatosk_tpu.correct.choose import branching_mask, choose_region_colors
 from ratatosk_tpu.graph.build import Cdbg
 from ratatosk_tpu.graph.colors import GraphColors
 from ratatosk_tpu.ops import cigar as CG
 from ratatosk_tpu.ops import colorset as CS
 
-BUCKETS = (64, 128, 256, 512, 1024, 2048)
+# target-length buckets = jit shapes. Three are enough: <=256 runs the exact
+# full-row DP; longer regions run the fixed-width band, whose per-step cost is
+# independent of NT, and the while_loop's all-frozen early exit means short
+# regions padded into a wide bucket add no steps (chunks are length-sorted).
+# 5376 covers pass-2's max_len_weak_region2=5000 (Common.hpp:132).
+BUCKETS = (256, 2048, 5376)
 
 
 def make_region_batch(specs: List["RegionSpec"], nt: int, color_cap: int, *,
@@ -56,6 +62,7 @@ def make_region_batch(specs: List["RegionSpec"], nt: int, color_cap: int, *,
     end_tip = np.full(Rp, -1, dtype=np.int32)
     end_off = np.zeros(Rp, dtype=np.int32)
     colors = np.full((Rp, color_cap), CS.PAD, dtype=np.int32)
+    weights = np.zeros((Rp, color_cap), dtype=np.int8)
     max_plen = np.ones(Rp, dtype=np.int32)
     for i, sp in enumerate(specs):
         if mirrored:
@@ -69,6 +76,8 @@ def make_region_batch(specs: List["RegionSpec"], nt: int, color_cap: int, *,
         start_tip[i], start_off[i] = stip, soff
         end_tip[i], end_off[i] = etip, eoff
         colors[i] = sp.colors_row
+        weights[i] = (sp.colors_w if sp.colors_w is not None
+                      else (sp.colors_row != CS.PAD).astype(np.int8))
         max_plen[i] = int(np.ceil((1.0 + len_factor) * len(tgt))) + 4
     lmax = int(np.ceil((1.0 + len_factor) * nt)) + 4
     rb = BM.RegionBatch(
@@ -76,6 +85,7 @@ def make_region_batch(specs: List["RegionSpec"], nt: int, color_cap: int, *,
         start_tip=jnp.asarray(start_tip), start_off=jnp.asarray(start_off),
         end_tip=jnp.asarray(end_tip), end_off=jnp.asarray(end_off),
         colors_sig=jnp.asarray(CS.color_signature(colors)),
+        colors_wsig=jnp.asarray(CS.color_signature(colors, weights=weights)),
         max_plen=jnp.asarray(max_plen))
     return rb, lmax
 
@@ -92,6 +102,13 @@ class RegionSpec:
     end_tip: int         # -1 = open
     end_off: int
     colors_row: np.ndarray
+    # per-id weights aligned to colors_row (WeightsPairID analog,
+    # Correction.cpp:417-427); None = all ones
+    colors_w: Optional[np.ndarray] = None
+    # quality of the raw target bases (target orientation). Open regions use
+    # it to gate acceptance: a walk may only replace bases it agrees with at
+    # least as well as their certified identity.
+    tgt_qual: Optional[np.ndarray] = None
     # anchors for the backward mirror (gap regions)
     mirror: Optional[tuple] = None
     # right-anchor GRAPH k-mer bases + its raw-window length (differs from k
@@ -149,6 +166,7 @@ class Corrector:
         self.snps = snps  # graph.snp.SnpAnnotations or None
         self.g = DeviceGraph.from_host(cdbg, colors)
         self.nk = cdbg.nkmers
+        self.branching = branching_mask(colors.edge_support)
         self.qv_max = self.opt.max_qual
         self._cur_hap = -1   # haplotype of the read being planned
         # wall-time breakdown (seconds), for bench/verbose reporting
@@ -175,6 +193,22 @@ class Corrector:
             from ratatosk_tpu.graph import phasing as PH
             r1 = PH.filter_colors_by_hap(r1, self.hap, self._cur_hap)
         return r1
+
+    def _chosen_colors(self, runs, li, ri, raw_a, raw_b):
+        """chooseColors analog: flank-aware priority-class color row + weights
+        (correct/choose.py), intersected with the read's haplotype partners
+        when phased (Correction.cpp:256)."""
+        row, wts = choose_region_colors(
+            runs, li, ri, raw_a, raw_b, self.colors, self.branching,
+            self.opt.insert_sz)
+        if self.hap is not None and self._cur_hap >= 0:
+            from ratatosk_tpu.graph import phasing as PH
+            new_row = PH.filter_colors_by_hap(row, self.hap, self._cur_hap)
+            idx = np.searchsorted(row, new_row)
+            idx = np.minimum(idx, len(row) - 1)
+            wts = np.where(new_row == CS.PAD, 0, wts[idx]).astype(np.int8)
+            row = new_row
+        return row, wts
 
     def _qual_for(self, score: float) -> int:
         return dna.get_qual_char(max(score, 0.0), qv_max=self.qv_max)
@@ -225,12 +259,14 @@ class Corrector:
             nk0 = int(self.nk[r0.uid])
             d_h = r0.direction ^ 1
             o_h = nk0 - 1 - r0.o_s
+            c_row, c_w = self._chosen_colors(runs, None, 0, 0, r0.s)
             regions.append(RegionSpec(
                 read_idx=ridx, kind="head", raw_a=0, raw_b=r0.s,
                 tgt=dna.revcomp_codes(codes[:r0.s]),
                 start_tip=(r0.uid << 1) | d_h, start_off=o_h + k,
                 end_tip=-1, end_off=0,
-                colors_row=self._region_colors(r0.uid)))
+                colors_row=c_row, colors_w=c_w,
+                tgt_qual=None if qual is None else qual[:r0.s][::-1].copy()))
             segs.append(("region", len(regions) - 1))
         for i, run in enumerate(runs):
             if i == 0 and run.weak:
@@ -249,20 +285,22 @@ class Corrector:
             nxt = runs[i + 1]
             raw_a, raw_b = run.e + rspan, nxt.s + (nxt.rspan or k)
             seg = self._plan_gap(ridx, codes, run, nxt, raw_a, raw_b,
-                                 raw_b - raw_a, regions)
+                                 raw_b - raw_a, regions, runs, i)
             segs.append(seg)
         last = runs[-1]
         ta = last.e + (last.rspan or k)
         if ta < L and self._span_max_quality(ta, L):
             segs.append(("raw", ta, L))
         elif ta < L:
+            c_row, c_w = self._chosen_colors(runs, len(runs) - 1, None, ta, L)
             regions.append(RegionSpec(
                 read_idx=ridx, kind="tail", raw_a=ta, raw_b=L,
                 tgt=codes[ta:].astype(np.uint8),
                 start_tip=(last.uid << 1) | last.direction,
                 start_off=last.o_e + k,
                 end_tip=-1, end_off=0,
-                colors_row=self._region_colors(last.uid)))
+                colors_row=c_row, colors_w=c_w,
+                tgt_qual=None if qual is None else qual[ta:].copy()))
             segs.append(("region", len(regions) - 1))
         return segs
 
@@ -361,7 +399,8 @@ class Corrector:
             return False
         return bool((q[a:b] >= 33 + self.qv_max).all())
 
-    def _plan_gap(self, ridx, codes, run, nxt, raw_a, raw_b, raw_len, regions):
+    def _plan_gap(self, ridx, codes, run, nxt, raw_a, raw_b, raw_len, regions,
+                  runs=None, run_i=None):
         k = self.cdbg.k
         f = self.opt.weak_region_len_factor
         if self._span_max_quality(raw_a, raw_b):
@@ -395,12 +434,17 @@ class Corrector:
         # right anchor's read window (anchor windows span rspan raw bases each)
         m_a = raw_a - (run.rspan or k)
         m_b = raw_b - (nxt.rspan or k)
+        if runs is not None:
+            c_row, c_w = self._chosen_colors(runs, run_i, run_i + 1,
+                                             raw_a, raw_b)
+        else:
+            c_row, c_w = self._region_colors(run.uid, nxt.uid), None
         regions.append(RegionSpec(
             read_idx=ridx, kind="gap", raw_a=raw_a, raw_b=raw_b,
             tgt=codes[raw_a:raw_b].astype(np.uint8),
             start_tip=(run.uid << 1) | run.direction, start_off=run.o_e + k,
             end_tip=(nxt.uid << 1) | nxt.direction, end_off=nxt.o_s + k,
-            colors_row=self._region_colors(run.uid, nxt.uid),
+            colors_row=c_row, colors_w=c_w,
             mirror=mirror,
             mirror_tgt=dna.revcomp_codes(codes[m_a:m_b]),
             end_anchor=self._oriented_slice(nxt.uid, nxt.direction,
@@ -412,17 +456,18 @@ class Corrector:
 
     def _launch_bucket(self, specs: List[RegionSpec], nt: int, mirrored: bool,
                        beam: Optional[int] = None):
-        # two padded batch shapes per bucket (8 / batch_regions) so jit
-        # compiles at most twice per target-length bucket
-        # pad to a coarse grid {8, 64, batch_regions} so jit compiles at most
-        # three batch shapes per bucket
+        # pad to a coarse grid {64, batch_regions} so jit compiles at most two
+        # batch shapes per bucket; padding rows are inert (tgt_len=1,
+        # max_plen=1) and freeze on the first step
         R = len(specs)
-        Rp = 8 if R <= 8 else (64 if R <= 64 else max(
-            self.opt.batch_regions, 1 << int(np.ceil(np.log2(R)))))
+        Rp = 64 if R <= 64 else max(
+            self.opt.batch_regions, 1 << int(np.ceil(np.log2(R))))
         rb, lmax = make_region_batch(
             specs, nt, self.colors.cap, mirrored=mirrored, r_pad=Rp,
             len_factor=self.opt.weak_region_len_factor)
-        band = 0 if nt <= 256 else self.opt.band_width
+        # band must absorb the path-vs-read indel drift, which grows with
+        # region length (~2-3% of NT at ONT error rates) — scale it
+        band = 0 if nt <= 256 else max(self.opt.band_width, nt // 16)
         return BM.beam_search(self.g, rb, beam=beam or self.opt.beam_width,
                               lmax=lmax, min_cov=self.opt.min_cov_vertices,
                               band=band)
@@ -586,29 +631,57 @@ class Corrector:
     def _finish_open(self, sp: RegionSpec, res, j: int, seq: np.ndarray,
                      blen: int, d1: int, s2) -> bool:
         n = len(sp.tgt)
-        # open regions (head/tail): SHW-trim the path overshoot — align the
-        # raw target into the path and cut where the target ends (the
-        # reference's trim, Correction.cpp:727-747)
+        # open regions (head/tail): an open region has no right anchor to
+        # certify the path, so a free-running beam can return a walk that
+        # starts right and then diverges (e.g. through a repeat). Accept only
+        # the longest target prefix that stays well-aligned — maximize
+        # (matched bases - 2*edits) over prefixes, the X-drop-style analog of
+        # the reference's waypoint-by-waypoint extension + SHW overshoot trim
+        # (extractSemiWeakPaths Correction.cpp:3-157; trim 727-747). The
+        # uncovered suffix keeps its raw bases.
         if blen == 0:
             return False
-        tdist, _, jend, _ = CG.aln_stats(dna.codes_to_masks(sp.tgt),
-                                         dna.codes_to_masks(seq), CG.SHW)
+        E = CG.dp_matrix(dna.codes_to_masks(sp.tgt),
+                         dna.codes_to_masks(seq), CG.NW)
+        dmin = E.min(axis=1)                       # [n+1] per-prefix distance
+
+        def gate_for(i: int) -> float:
+            # at least the config floor, and at least the certified identity
+            # of the bases being replaced (linear-scale quality, getQual
+            # convention) — a walk must not disagree with the raw span more
+            # than the span's own claimed error rate
+            g = self.opt.min_score_open_region
+            if sp.tgt_qual is not None and i > 0:
+                q = sp.tgt_qual[:i].astype(np.float32)
+                g = max(g, float(np.mean(np.clip(q - 33, 0, self.qv_max))
+                                 / self.qv_max))
+            return g
+
+        # full-target acceptance first (the reference's SHW trim,
+        # Correction.cpp:727-747) ...
+        istar = n
+        s1 = 1.0 - dmin[n] / max(n, 1)
+        if s1 < gate_for(n):
+            # ... else accept only the longest well-aligned prefix —
+            # maximize (matched bases - 2*edits), the X-drop-style analog of
+            # waypoint-by-waypoint extension (Correction.cpp:3-157). The
+            # uncovered suffix keeps its raw bases.
+            prefix_score = np.arange(n + 1) - 2.0 * dmin
+            istar = int(prefix_score.argmax())
+            if istar < self.cdbg.k:
+                return False
+            s1 = 1.0 - dmin[istar] / max(istar, 1)
+            if s1 < gate_for(istar):
+                return False
+        dstar = int(dmin[istar])
+        # path cut: max tie column (the reference takes the max end location,
+        # Correction.cpp:733-740)
+        jend = int(np.flatnonzero(E[istar] == dstar).max())
         if jend <= 0:
             return False
         seq = seq[:jend]
-        s1 = 1.0 - tdist / max(n, 1)
-        # acceptance gate: an open region has no right anchor to certify the
-        # path, so a free-running beam can return a plausible-scoring but
-        # wrong walk (e.g. through a repeat). A true correction differs from
-        # the raw target by ~the read's error rate; a wrong walk diverges
-        # almost everywhere. The reference avoids this by only advancing
-        # waypoint-to-waypoint across weak seeds (extractSemiWeakPaths,
-        # Correction.cpp:3-157); the gate enforces the same property on the
-        # whole-path shortcut.
-        if s1 < self.opt.min_score_open_region:
-            return False
-        sp.covered = n
-        qual = self._region_quality(seq, sp.tgt, s1, s2)
+        sp.covered = istar
+        qual = self._region_quality(seq, sp.tgt[:istar], s1, s2)
         if sp.kind == "head":
             # target was reversed: result maps to raw [raw_a, raw_b)
             sp.seq = dna.revcomp_codes(seq)

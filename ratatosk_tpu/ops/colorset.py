@@ -59,7 +59,8 @@ def intersect_count(a, b, xp):
 SIG_BINS = 512
 
 
-def color_signature(rows: np.ndarray, bins: int = SIG_BINS) -> np.ndarray:
+def color_signature(rows: np.ndarray, bins: int = SIG_BINS,
+                    weights: np.ndarray | None = None) -> np.ndarray:
     """Hashed indicator signature of padded color rows: int8 [..., bins].
 
     sig[..., splitmix64(id) % bins] = 1 for each non-PAD id. Intersection
@@ -68,6 +69,11 @@ def color_signature(rows: np.ndarray, bins: int = SIG_BINS) -> np.ndarray:
     bounds (ids colliding into one bin count once; unrelated sets overlap a
     bin with ~|A||B|/bins expectation), which is accurate enough for the
     >= min_cov edge filter (GraphTraversal.cpp:485-489).
+
+    weights (optional, same shape as rows): per-id weight written into the
+    id's bin (max on collision) — the WeightsPairID analog
+    (Correction.cpp:417-427): dotting a unitig's 0/1 signature against a
+    weighted region signature yields the weighted shared-read count.
     """
     from ratatosk_tpu.ops.kmers import splitmix64
     flat = rows.reshape(-1, rows.shape[-1])
@@ -75,7 +81,11 @@ def color_signature(rows: np.ndarray, bins: int = SIG_BINS) -> np.ndarray:
     valid = flat != PAD
     h = (splitmix64(flat.astype(np.uint64), np) % np.uint64(bins)).astype(np.int64)
     rid = np.broadcast_to(np.arange(flat.shape[0])[:, None], flat.shape)
-    sig[rid[valid], h[valid]] = 1
+    if weights is None:
+        sig[rid[valid], h[valid]] = 1
+    else:
+        w = np.clip(weights.reshape(flat.shape), 0, 127).astype(np.int8)
+        np.maximum.at(sig, (rid[valid], h[valid]), w[valid])
     return sig.reshape(rows.shape[:-1] + (bins,))
 
 

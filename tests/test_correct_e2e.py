@@ -39,13 +39,16 @@ def test_correct_simple_genome():
 
 
 def test_correct_repetitive_genome():
+    # 20x repeat content; the flank-aware chooseColors analog
+    # (correct/choose.py) must disambiguate repeat copies — the bound is
+    # 4x tighter than the simple-anchor-union engine achieved
     rng = np.random.default_rng(101)
     genome, corr = _setup(rng, 15000, repeat_frac=0.2)
     lreads = sim.long_reads(rng, genome, n=3, min_len=1500, max_len=2500, err=0.10)
     res = corr.correct_batch([x[0] for x in lreads])
     raw = np.mean([sim.error_rate(n, t) for n, t, _ in lreads])
     cor = np.mean([sim.error_rate(c.codes, t) for (_, t, _), c in zip(lreads, res)])
-    assert cor < raw / 5, f"corrected error {cor:.4f} vs raw {raw:.4f}"
+    assert cor < raw / 20, f"corrected error {cor:.4f} vs raw {raw:.4f}"
 
 
 def test_quality_strings_sane():

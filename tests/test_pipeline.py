@@ -72,6 +72,23 @@ def test_two_pass_correct(dataset):
     assert cor <= mid * 1.5 + 1e-9
 
 
+def test_two_pass_correct_k63(dataset):
+    """Default-shaped pass-2: k2=63 exercises the two-word key path through
+    build/color/seeds/beam end-to-end (reference default, Common.hpp:117)."""
+    tmp, genome, lreads, sr, lr = dataset
+    out = str(tmp / "k63")
+    rc = cli.main(["correct", "-s", sr, "-l", lr, "-o", out,
+                   "-k", "21", "-K", "63", "-C", "500",
+                   "--beam-width", "8", "--batch-regions", "32"])
+    assert rc == 0
+    raw = np.mean([sim.error_rate(n, t) for n, t, _ in lreads])
+    mid = _errors(out + ".2.fastq", lreads)
+    cor = _errors(out + ".fastq", lreads)
+    assert mid < raw / 4
+    assert cor < raw / 4
+    assert cor <= mid * 1.5 + 1e-9
+
+
 def test_index_then_correct(dataset):
     tmp, genome, lreads, sr, lr = dataset
     out = str(tmp / "four")
