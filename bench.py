@@ -1,4 +1,10 @@
-"""Benchmark: corrected long-read bases/sec on one chip (pass-1 style).
+"""Benchmark: corrected long-read bases/sec/chip over the FULL two-pass flow.
+
+The driver-defined metric (BASELINE.json "metric") is corrected long-read
+bases/sec/chip for pass1+pass2: every input base is counted once, and the
+clock covers both correction passes (pass 1 at k=31, pass 2 at k=63 on the
+pass-1 output). Index construction is untimed — it is the separate `index`
+step of the reference's 4-step contract (Ratatosk.cpp:1137-1144).
 
 Prints ONE JSON line to stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -30,28 +36,33 @@ def main() -> None:
     t_all = time.time()
     from ratatosk_tpu import testing
     from ratatosk_tpu.config import CorrectOpt
+    from ratatosk_tpu.correct.engine import Corrector
+    from ratatosk_tpu.graph import build as B
+    from ratatosk_tpu.graph.colors import color_graph
+    from ratatosk_tpu.pipeline import build_pass2_index, _pass_opt
 
     rng = np.random.default_rng(1234)
+    # 64 reads x 4kb over 100kb ~= 2.6x long-read coverage: enough that
+    # pass-2 coloring (pass-1 output colors the k63 graph) has >= 2 reads
+    # per locus, and that beam batches run full
     glen = int(float(sys.argv[1])) if len(sys.argv) > 1 else 100_000
-    n_reads = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    n_reads = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     read_len = 4000
 
     log(f"simulating genome={glen}bp, {n_reads} long reads x {read_len}bp")
     genome = testing.random_genome(rng, glen, repeat_frac=0.1, repeat_len=300)
     sreads = testing.short_reads(rng, genome, coverage=40.0)
 
-    log("building colored cDBG (host)")
+    log("building pass-1 colored cDBG k=31 (host, untimed index step)")
     t0 = time.time()
-    from ratatosk_tpu.graph import build as B
-    from ratatosk_tpu.graph.colors import color_graph
-    from ratatosk_tpu.correct.engine import Corrector
     cdbg = B.build_cdbg(sreads, 31, min_count=2)
     colors = color_graph(cdbg, sreads)
-    log(f"graph: {cdbg.n_unitigs} unitigs, {cdbg.index.n} k-mers "
+    log(f"pass-1 graph: {cdbg.n_unitigs} unitigs, {cdbg.index.n} k-mers "
         f"({time.time() - t0:.1f}s)")
 
-    opt = CorrectOpt(small_k=31, k=63, beam_width=16, batch_regions=64)
-    corr = Corrector(cdbg, colors, opt)
+    opt = CorrectOpt(small_k=31, k=63, beam_width=16, batch_regions=512)
+    o1 = _pass_opt(opt, 1)
+    corr1 = Corrector(cdbg, colors, o1)
 
     reads = []
     for _ in range(n_reads):
@@ -62,23 +73,51 @@ def main() -> None:
 
     # warm up on the full workload so every bucket shape is compiled (and
     # lands in the persistent cache) before the timed pass
-    log("warmup (compiles bucket kernels)")
+    log("pass-1 warmup (compiles bucket kernels)")
     t0 = time.time()
-    corr.correct_batch(reads)
-    log(f"warmup done ({time.time() - t0:.1f}s)")
+    corr1.correct_batch(reads)
+    log(f"pass-1 warmup done ({time.time() - t0:.1f}s)")
 
-    corr.timers = {k: 0.0 for k in corr.timers}
+    corr1.timers = {k: 0.0 for k in corr1.timers}
     t0 = time.time()
-    results = corr.correct_batch(reads)
-    dt = time.time() - t0
-    log(f"breakdown: {', '.join(f'{k}={v:.2f}s' for k, v in corr.timers.items())}")
-    out_bases = sum(len(r.codes) for r in results)
+    res1 = corr1.correct_batch(reads)
+    t_pass1 = time.time() - t0
+    log(f"pass-1: {total_bases} bases in {t_pass1:.2f}s; breakdown: "
+        + ", ".join(f"{k}={v:.2f}s" for k, v in corr1.timers.items()))
+
+    log("building pass-2 cDBG k=63 colored by pass-1 output (untimed)")
+    t0 = time.time()
+    cdbg2, colors2 = build_pass2_index(
+        opt, ((r.codes, r.qual) for r in res1), sreads,
+        list(range(len(sreads))))
+    log(f"pass-2 graph: {cdbg2.n_unitigs} unitigs, {cdbg2.index.n} k-mers "
+        f"({time.time() - t0:.1f}s)")
+    o2 = _pass_opt(opt, 2)
+    corr2 = Corrector(cdbg2, colors2, o2)
+    reads2 = [r.codes for r in res1]
+    quals2 = [r.qual for r in res1]
+
+    log("pass-2 warmup")
+    t0 = time.time()
+    corr2.correct_batch(reads2, quals2)
+    log(f"pass-2 warmup done ({time.time() - t0:.1f}s)")
+
+    corr2.timers = {k: 0.0 for k in corr2.timers}
+    t0 = time.time()
+    res2 = corr2.correct_batch(reads2, quals2)
+    t_pass2 = time.time() - t0
+    log(f"pass-2: {t_pass2:.2f}s; breakdown: "
+        + ", ".join(f"{k}={v:.2f}s" for k, v in corr2.timers.items()))
+
+    dt = t_pass1 + t_pass2
+    out_bases = sum(len(r.codes) for r in res2)
     bps = total_bases / dt
-    log(f"corrected {total_bases} bases in {dt:.2f}s -> {bps:.0f} bases/s "
-        f"(output {out_bases} bases); total wall {time.time() - t_all:.1f}s")
+    log(f"corrected {total_bases} bases through 2 passes in {dt:.2f}s -> "
+        f"{bps:.0f} bases/s (output {out_bases} bases); "
+        f"total wall {time.time() - t_all:.1f}s")
 
     print(json.dumps({
-        "metric": "corrected_long_read_bases_per_sec_per_chip",
+        "metric": "corrected_long_read_bases_per_sec_per_chip_2pass",
         "value": round(bps, 1),
         "unit": "bases/s",
         "vs_baseline": round(bps / BASELINE_BASES_PER_SEC, 3),

@@ -47,6 +47,9 @@ def _add_common(p: argparse.ArgumentParser, correct_mode: bool) -> None:
         p.add_argument("-G", "--gzip-out", action="store_true")
         p.add_argument("-O", "--force-io-order", action="store_true")
         p.add_argument("-m", "--min-conf-snp-corr", type=float, default=0.9)
+        p.add_argument("-f", "--fix-snps", action="store_true",
+                       help="resolve leftover ambiguity (IUPAC) against the "
+                            "graph in pass 2 (fixSNPs)")
         p.add_argument("-w", "--max-len-weak1", type=int, default=1000)
         p.add_argument("-W", "--max-len-weak2", type=int, default=5000)
         p.add_argument("-r", "--correction-rounds", type=int, default=1)
@@ -85,6 +88,7 @@ def _build_opt(args, index_mode: bool) -> CorrectOpt:
         verbose=args.verbose,
         gzip_out=getattr(args, "gzip_out", False),
         no_snp_correction=args.no_snp_correction,
+        fix_snps=getattr(args, "fix_snps", False),
         force_io_order=getattr(args, "force_io_order", False),
         pass1_only=args.pass1_only,
         pass2_only=args.pass2_only,

@@ -58,6 +58,9 @@ class CorrectOpt:
     min_confidence_2nd_pass: float = 0.0
     min_nb_km_unmapped: int = 31       # -u missing-read rescue threshold
     no_snp_correction: bool = False    # -F: disable SNP detection/handling
+    fix_snps: bool = False             # -f: resolve leftover IUPAC against
+                                       # the graph in pass 2 (fixSNPs,
+                                       # Alignment.cpp:846-965)
 
     # -- execution --
     nb_threads: int = 1

@@ -122,6 +122,7 @@ class RegionSpec:
     ok: bool = False
     seq: Optional[np.ndarray] = None      # corrected codes (read orientation)
     qual: Optional[np.ndarray] = None     # per-base quality chars
+    iupac: Optional[np.ndarray] = None    # ambiguity masks over seq (fixAmbiguity)
     covered: int = 0                      # target prefix covered (open regions)
     # partial paths when neither direction completes (consensus merge,
     # Alignment.cpp:309-470): (trimmed codes in path orientation, target
@@ -250,6 +251,10 @@ class Corrector:
             return [("raw", 0, L)]
         if wps:
             runs = sorted(runs + wps, key=lambda r: r.s)
+        # open (head/tail) regions share the weak-region length cap
+        # (max_len_weak_region, Common.hpp:131-132); the anchor-adjacent part
+        # is corrected and the far remainder stays raw
+        cap_open = self.opt.max_len_weak_region1
         segs: list = []
         r0 = runs[0]
         if r0.s > 0 and self._span_max_quality(0, r0.s):
@@ -259,14 +264,17 @@ class Corrector:
             nk0 = int(self.nk[r0.uid])
             d_h = r0.direction ^ 1
             o_h = nk0 - 1 - r0.o_s
-            c_row, c_w = self._chosen_colors(runs, None, 0, 0, r0.s)
+            h_a = max(r0.s - cap_open, 0)
+            if h_a > 0:
+                segs.append(("raw", 0, h_a))
+            c_row, c_w = self._chosen_colors(runs, None, 0, h_a, r0.s)
             regions.append(RegionSpec(
-                read_idx=ridx, kind="head", raw_a=0, raw_b=r0.s,
-                tgt=dna.revcomp_codes(codes[:r0.s]),
+                read_idx=ridx, kind="head", raw_a=h_a, raw_b=r0.s,
+                tgt=dna.revcomp_codes(codes[h_a:r0.s]),
                 start_tip=(r0.uid << 1) | d_h, start_off=o_h + k,
                 end_tip=-1, end_off=0,
                 colors_row=c_row, colors_w=c_w,
-                tgt_qual=None if qual is None else qual[:r0.s][::-1].copy()))
+                tgt_qual=None if qual is None else qual[h_a:r0.s][::-1].copy()))
             segs.append(("region", len(regions) - 1))
         for i, run in enumerate(runs):
             if i == 0 and run.weak:
@@ -292,16 +300,19 @@ class Corrector:
         if ta < L and self._span_max_quality(ta, L):
             segs.append(("raw", ta, L))
         elif ta < L:
-            c_row, c_w = self._chosen_colors(runs, len(runs) - 1, None, ta, L)
+            t_b = min(ta + cap_open, L)
+            c_row, c_w = self._chosen_colors(runs, len(runs) - 1, None, ta, t_b)
             regions.append(RegionSpec(
-                read_idx=ridx, kind="tail", raw_a=ta, raw_b=L,
-                tgt=codes[ta:].astype(np.uint8),
+                read_idx=ridx, kind="tail", raw_a=ta, raw_b=t_b,
+                tgt=codes[ta:t_b].astype(np.uint8),
                 start_tip=(last.uid << 1) | last.direction,
                 start_off=last.o_e + k,
                 end_tip=-1, end_off=0,
                 colors_row=c_row, colors_w=c_w,
-                tgt_qual=None if qual is None else qual[ta:].copy()))
+                tgt_qual=None if qual is None else qual[ta:t_b].copy()))
             segs.append(("region", len(regions) - 1))
+            if t_b < L:
+                segs.append(("raw", t_b, L))
         return segs
 
     def _plan_seeds(self, reads: List[np.ndarray],
@@ -391,6 +402,93 @@ class Corrector:
                     iu = np.zeros(len(splice), dtype=np.uint8)
                 iu[j] = mo
         return iu
+
+    def _region_iupac(self, sp: RegionSpec, s1: float) -> Optional[np.ndarray]:
+        """fixAmbiguity over a beam-corrected gap region (Alignment.cpp:527-844).
+
+        The winning path's unitig chain is recovered by re-anchoring the
+        corrected sequence on the graph (it is graph-perfect, so find_runs
+        maps every k-mer); graph-annotated het sites falling inside the chain
+        are checked against the raw read via the alignment's query->target
+        map: if the raw read carries the OTHER allele and the correction is
+        below `min_confidence_snp_corr`, the site surfaces as an IUPAC code
+        instead of silently picking one allele.
+        """
+        if (self.snps is None or sp.seq is None
+                or len(sp.seq) < self.cdbg.k
+                or s1 >= self.opt.min_confidence_snp_corr):
+            return None
+        k = self.cdbg.k
+        seq = sp.seq
+        sites = []   # (seq_pos, oriented mask)
+        for run in find_runs(self.cdbg, seq):
+            pos_f, masks = self.snps.sites_for(run.uid)
+            if len(pos_f) == 0:
+                continue
+            ul = int(self.cdbg.ulen[run.uid])
+            for p, m in zip(pos_f, masks):
+                po = int(p) if run.direction == 0 else ul - 1 - int(p)
+                mo = int(m) if run.direction == 0 else dna.revcomp_mask(int(m))
+                j = run.s + (po - run.o_s)
+                if run.s <= j < run.e + k and 0 <= j < len(seq):
+                    sites.append((j, mo))
+        if not sites:
+            return None
+        _, cig, b0, _ = CG.aln_cigar(dna.codes_to_masks(seq),
+                                     dna.codes_to_masks(sp.tgt), CG.NW)
+        q2t = CG.query_target_map(cig, len(seq), b0)
+        iu = None
+        for j, mo in sites:
+            tj = int(q2t[j])
+            if tj < 0:
+                continue
+            raw_b = int(sp.tgt[tj])
+            if raw_b >= 4 or raw_b == int(seq[j]):
+                continue
+            if dna._CODE_TO_MASK[raw_b] & mo:
+                if iu is None:
+                    iu = np.zeros(len(seq), dtype=np.uint8)
+                iu[j] = mo
+        return iu
+
+    def resolve_iupac(self, cr: "CorrectedRead") -> int:
+        """fixSNPs (-f, Alignment.cpp:846-965): disambiguate leftover IUPAC
+        sites by testing each allele's k covering k-mers against the graph;
+        the best-supported allele wins (first allele on ties). Returns the
+        number of sites resolved."""
+        if cr.iupac is None or not cr.iupac.any():
+            return 0
+        from ratatosk_tpu.graph.keys import KeyArray
+        k = self.cdbg.k
+        codes = cr.codes
+        index_keys = KeyArray(k, np.asarray(self.cdbg.index.keys_lo),
+                              np.asarray(self.cdbg.index.keys_hi)
+                              if self.cdbg.index.two_word else None)
+        n_res = 0
+        for j in np.flatnonzero(cr.iupac):
+            m = int(cr.iupac[j])
+            alleles = [b for b in range(4) if (1 << b) & m]
+            if len(alleles) < 2:
+                cr.iupac[j] = 0
+                continue
+            a0 = max(j - k + 1, 0)
+            b0 = min(j + k, len(codes))
+            best, best_n = int(codes[j]), -1
+            for b in alleles:
+                win = codes[a0:b0].copy()
+                win[j - a0] = b
+                if len(win) < k:
+                    continue
+                ka, valid = KeyArray.from_codes(win, k)
+                can, _ = ka.canonical()
+                rows = index_keys.find(can)
+                n = int(((rows >= 0) & valid).sum())
+                if n > best_n:
+                    best, best_n = b, n
+            codes[j] = best
+            cr.iupac[j] = 0
+            n_res += 1
+        return n_res
 
     def _span_max_quality(self, a: int, b: int) -> bool:
         """True when raw span [a,b) is already at max confidence (pass 2)."""
@@ -555,6 +653,7 @@ class Corrector:
                 sp.seq = seq
                 sp.qual = self._region_quality(seq, sp.tgt, s1, s2)
             sp.ok = True
+            sp.iupac = self._region_iupac(sp, s1)
             return True
         return self._finish_open(sp, res, j, seq, blen, d1, s2)
 
@@ -728,6 +827,8 @@ class Corrector:
                     continue
                 n_corr += 1
                 if sp.kind == "gap":
+                    if sp.iupac is not None:
+                        out_iupac.append((sum(map(len, out_seq)), sp.iupac))
                     out_seq.append(sp.seq)
                     out_qual.append(sp.qual)
                 elif sp.kind == "tail":

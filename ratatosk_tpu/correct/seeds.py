@@ -186,6 +186,8 @@ def _canonical_variants(codes: np.ndarray, k: int, kind: str,
     """
     import ratatosk_tpu.ops.kmers as K
     m = k + (1 if kind == "del" else (-1 if kind == "ins" else 0))
+    if kind == "exact":
+        m = k
     empty = (np.zeros(0, np.uint64), np.zeros(0, np.uint64),
              np.zeros(0, bool), np.zeros(0, np.int64))
     if len(codes) < m:
@@ -234,7 +236,13 @@ def _canonical_variants(codes: np.ndarray, k: int, kind: str,
         fw_l.append(is_fw)
         p_l.append(pp)
 
-    if kind == "sub":
+    if kind == "exact":
+        # the window itself: a probe span may contain exact graph k-mers
+        # whose solid runs were killed by the color-consistency filter
+        # (Graph.cpp:325-372); re-offering them as flank-color-checked
+        # waypoints splits long clean spans into short certified legs
+        emit(whi, wlo, rhi, rlo)
+    elif kind == "sub":
         for p in range(k):
             orig = _get_base128(whi, wlo, m, p)
             for b in range(4):
@@ -327,14 +335,14 @@ def find_weak_seeds_batch(cdbg: Cdbg, reads, spans, *, subs: bool = True,
     concat = np.concatenate(parts)
     starts_arr = np.asarray(starts, np.int64)
 
-    kinds = []
+    kinds = [("exact", k)]
     if subs:
         kinds.append(("sub", k))
     if indels and k <= 63:
         kinds.append(("del", k + 1))
         kinds.append(("ins", k - 1))
     prefilter = _probe_prefilter(cdbg.index)
-    chs, cls, fws, poss, rsps = [], [], [], [], []
+    chs, cls, fws, poss, rsps, exs = [], [], [], [], [], []
     for kind, rspan in kinds:
         ch, cl, fw, wp = _canonical_variants(concat, k, kind, starts_arr,
                                              stride=stride,
@@ -344,6 +352,7 @@ def find_weak_seeds_batch(cdbg: Cdbg, reads, spans, *, subs: bool = True,
         fws.append(fw)
         poss.append(wp)
         rsps.append(np.full(len(wp), rspan, np.int32))
+        exs.append(np.full(len(wp), kind == "exact", bool))
     if not chs:
         return out
     cl_cat = np.concatenate(cls)
@@ -351,6 +360,7 @@ def find_weak_seeds_batch(cdbg: Cdbg, reads, spans, *, subs: bool = True,
     fw_cat = np.concatenate(fws)
     pos_cat = np.concatenate(poss)
     rsp_cat = np.concatenate(rsps)
+    ex_cat = np.concatenate(exs)
     if cl_cat.size == 0:
         return out
 
@@ -370,21 +380,38 @@ def find_weak_seeds_batch(cdbg: Cdbg, reads, spans, *, subs: bool = True,
     si = np.searchsorted(starts_arr, gpos, side="right") - 1
     rpos = gpos - starts_arr[si]
     rsp = rsp_cat[hit]
+    ex = ex_cat[hit]
 
-    # dedupe identical placements, then keep positions with a unique placement
+    # dedupe identical placements, then resolve per position: an exact
+    # placement outranks 1-edit variant placements (it is the stronger
+    # evidence, like the reference's exact-before-inexact search order);
+    # conflicts only count within the strongest class present
     order = np.lexsort((rsp, o, direction, uid, rpos, si))
-    si, rpos, uid, direction, o, rsp = (x[order] for x in
-                                        (si, rpos, uid, direction, o, rsp))
+    si, rpos, uid, direction, o, rsp, ex = (x[order] for x in
+                                            (si, rpos, uid, direction, o,
+                                             rsp, ex))
     same = ((si[1:] == si[:-1]) & (rpos[1:] == rpos[:-1])
             & (uid[1:] == uid[:-1]) & (direction[1:] == direction[:-1])
             & (o[1:] == o[:-1]) & (rsp[1:] == rsp[:-1]))
     keep = np.concatenate([[True], ~same])
-    si, rpos, uid, direction, o, rsp = (x[keep] for x in
-                                        (si, rpos, uid, direction, o, rsp))
+    # an exact hit and its identical sub-duplicate can't exist (sub excludes
+    # the original base), so dedupe never merges across the exact flag
+    si, rpos, uid, direction, o, rsp, ex = (x[keep] for x in
+                                            (si, rpos, uid, direction, o,
+                                             rsp, ex))
     gnew = np.concatenate([[True], (si[1:] != si[:-1]) | (rpos[1:] != rpos[:-1])])
     gid = np.cumsum(gnew) - 1
-    gcnt = np.bincount(gid)
-    sel = np.flatnonzero(gnew & (gcnt[gid] <= max_hits_per_pos))
+    n_ex = np.bincount(gid, weights=ex.astype(np.float64)).astype(np.int64)
+    n_all = np.bincount(gid)
+    # exact rank within the group: 0 for the first exact member
+    starts_idx = np.flatnonzero(gnew)
+    cum_ex = np.cumsum(ex)
+    grp_base = np.repeat(cum_ex[starts_idx] - ex[starts_idx],
+                         np.diff(np.append(starts_idx, len(ex))))
+    ex_rank = cum_ex - ex - grp_base
+    first_exact = ex & (ex_rank == 0) & (n_ex[gid] <= max_hits_per_pos)
+    first_plain = gnew & (n_ex[gid] == 0) & (n_all[gid] <= max_hits_per_pos)
+    sel = np.flatnonzero(first_exact | first_plain)
     for j in sel:
         s_i = int(si[j])
         a = spans[s_i][1]

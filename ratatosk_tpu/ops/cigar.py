@@ -127,3 +127,20 @@ def traceback(a_masks: np.ndarray, b_masks: np.ndarray, mode: int = NW):
 
 def cigar_to_str(cigar) -> str:
     return "".join(f"{ln}{op}" for op, ln in cigar)
+
+
+def query_target_map(cigar, m: int, b_start: int = 0) -> np.ndarray:
+    """Per-query-base target index from a CIGAR: int32 [m], -1 where the
+    query base is an insertion (consumes no target)."""
+    out = np.full(m, -1, dtype=np.int32)
+    i, j = 0, b_start
+    for op, ln in cigar:
+        if op in "=X":
+            out[i:i + ln] = np.arange(j, j + ln)
+            i += ln
+            j += ln
+        elif op == "I":
+            i += ln
+        else:  # D
+            j += ln
+    return out

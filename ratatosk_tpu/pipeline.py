@@ -187,6 +187,8 @@ def correct_file(corrector: Corrector, opt: CorrectOpt, in_paths: List[str],
         quals = batch_quals if any(q is not None for q in batch_quals) else None
         results = corrector.correct_batch(batch_reads, quals, batch_names)
         for name, cr in zip(batch_names, results):
+            if opt.fix_snps and pass_no == 2:
+                corrector.resolve_iupac(cr)   # fixSNPs, Alignment.cpp:846-965
             writer.write(name, cr.codes, cr.qual, cr.iupac)
             n_reads += 1
             n_bases += len(cr.codes)

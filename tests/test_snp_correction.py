@@ -44,3 +44,45 @@ def test_het_site_preserved_as_iupac():
             kept_allele += 1
     # correction stays strong on diploid data
     assert kept_allele >= 6
+
+
+def test_fix_ambiguity_beam_regions_and_fix_snps():
+    """fixAmbiguity over beam-corrected regions + fixSNPs resolution:
+    a het site inside a beam-corrected weak region surfaces as IUPAC when the
+    raw read carries the other allele, and resolve_iupac (-f) replaces every
+    ambiguity with a graph-supported concrete base
+    (Alignment.cpp:527-844, 846-965)."""
+    rng = np.random.default_rng(610)
+    hapA = sim.random_genome(rng, 6000)
+    hapB = hapA.copy()
+    sites = [2600, 3000, 3400]
+    for s in sites:
+        hapB[s] = (hapB[s] + 1) % 4
+    reads = (sim.short_reads(rng, hapA, coverage=25.0, read_len=100)
+             + sim.short_reads(rng, hapB, coverage=25.0, read_len=100))
+    cdbg = B.build_cdbg(reads, K, min_count=2)
+    colors = color_graph(cdbg, reads)
+    ann = SNP.detect_snps(cdbg, colors)
+    assert ann.n_sites >= 2
+    opt = CorrectOpt(small_k=K, k=63, beam_width=8, batch_regions=32,
+                     min_confidence_snp_corr=2.0)   # annotate regardless of s1
+    corr = Corrector(cdbg, colors, opt, snps=ann)
+    from ratatosk_tpu import testing
+    any_iupac = None
+    for trial in range(10):
+        rng2 = np.random.default_rng(800 + trial)
+        noisy, true = testing.noisy_read(rng2, hapB, 2000, 2200, 0.10)
+        cr = corr.correct_batch([noisy])[0]
+        if cr.iupac is not None and cr.iupac.any():
+            any_iupac = cr
+            break
+    assert any_iupac is not None, "no het site surfaced as IUPAC"
+    cr = any_iupac
+    n_sites = int((cr.iupac != 0).sum())
+    # ambiguity chars appear in the printed sequence
+    assert any(c not in "ACGT" for c in cr.seq)
+    # -f resolves every site to a graph-supported concrete base
+    n_res = corr.resolve_iupac(cr)
+    assert n_res == n_sites
+    assert cr.iupac is None or not cr.iupac.any()
+    assert all(c in "ACGT" for c in cr.seq)
