@@ -77,17 +77,22 @@ class CorrectOpt:
     # rate). A true correction sits near the read's error rate (~0.85-0.9);
     # a wrong repeat walk scores far below 0.5.
     min_score_open_region: float = 0.5
+    # a COMPLETED (anchor-certified) path must still resemble the raw span:
+    # a wrong-locus leg through a repeat completes at the right anchor but
+    # diverges from the read almost everywhere; true legs sit near the
+    # read's error rate (~0.85+ at 10-15% error)
+    min_score_closed_region: float = 0.4
     # weak (1-edit) seed waypoints inside long anchor-free spans (the
     # reference's masked inexact re-search + semi-weak path hops,
     # Graph.cpp:100-196, Correction.cpp:3-157)
     use_weak_seeds: bool = True
     weak_seed_min_gap: int = 200    # probe spans at least this long (bp)
     weak_seed_min_space: int = 64   # min spacing between waypoints / edges
-    # probe every Nth window position. stride 1 probes everything; >1 cuts
-    # probe cost but lets a wrong 1-edit placement at a probed position win
-    # when the right placement sits at a skipped one (conflict suppression is
-    # per-position), so it trades accuracy, not just waypoint density.
-    weak_seed_stride: int = 1
+    # probe every Nth window position for 1-edit variants (exact windows are
+    # always probed at every position). Wrong-placement risk at skipped
+    # positions is contained by exact-placement priority and the closed/open
+    # region acceptance gates.
+    weak_seed_stride: int = 2
     beam_width: int = 16          # beam entries per weak region
     band_width: int = 192         # DP band for long regions (edlib-style);
                                   # regions <= 256 bp always run exact

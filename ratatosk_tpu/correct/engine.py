@@ -245,6 +245,7 @@ class Corrector:
         # (Correction.cpp:779,808,941)
         self._max_q = qual if (qual is not None
                                and self.opt.skip_max_quality_regions) else None
+        self._cur_qual = qual
         if runs is None:
             runs = filter_runs_by_color(find_runs(self.cdbg, codes), self.colors)
         if not runs:
@@ -537,12 +538,14 @@ class Corrector:
                                              raw_a, raw_b)
         else:
             c_row, c_w = self._region_colors(run.uid, nxt.uid), None
+        q_cur = getattr(self, "_cur_qual", None)
         regions.append(RegionSpec(
             read_idx=ridx, kind="gap", raw_a=raw_a, raw_b=raw_b,
             tgt=codes[raw_a:raw_b].astype(np.uint8),
             start_tip=(run.uid << 1) | run.direction, start_off=run.o_e + k,
             end_tip=(nxt.uid << 1) | nxt.direction, end_off=nxt.o_s + k,
             colors_row=c_row, colors_w=c_w,
+            tgt_qual=None if q_cur is None else q_cur[raw_a:raw_b].copy(),
             mirror=mirror,
             mirror_tgt=dna.revcomp_codes(codes[m_a:m_b]),
             end_anchor=self._oriented_slice(nxt.uid, nxt.direction,
@@ -631,7 +634,15 @@ class Corrector:
         s1 = 1.0 - d1 / max(n, 1)
         s2 = None if d2 >= (1 << 20) else 1.0 - d2 / max(n, 1)
         if sp.kind == "gap":
-            if not bool(res["completed"][j]) or blen == 0 or s1 < 0.0:
+            gate = self.opt.min_score_closed_region
+            if sp.tgt_qual is not None and n > 0:
+                # a completed walk may only replace bases it agrees with at
+                # least as well as their certified identity (same rule as
+                # open regions)
+                q = sp.tgt_qual.astype(np.float32)
+                gate = max(gate, float(np.mean(np.clip(q - 33, 0, self.qv_max))
+                                       / self.qv_max))
+            if not bool(res["completed"][j]) or blen == 0 or s1 < gate:
                 self._record_partial(sp, seq, res, j, mirrored)
                 if mirrored and final:
                     return self._merge_partials(sp)

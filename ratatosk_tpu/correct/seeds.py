@@ -173,7 +173,7 @@ def _insert_base128(hi, lo, m: int, p: int, b: int):
 
 def _canonical_variants(codes: np.ndarray, k: int, kind: str,
                         span_starts: np.ndarray, stride: int = 1,
-                        prefilter=None):
+                        prefilter=None, pos_mask: Optional[np.ndarray] = None):
     """Canonical 1-edit variant keys of all m-base windows of `codes`.
 
     kind: 'sub' (m=k), 'del' (m=k+1: the read has an extra base), 'ins'
@@ -199,6 +199,8 @@ def _canonical_variants(codes: np.ndarray, k: int, kind: str,
     else:
         whi, wlo, valid = packed
     pos = np.flatnonzero(valid)
+    if pos_mask is not None and pos.size:
+        pos = pos[pos_mask[np.minimum(pos, len(pos_mask) - 1)]]
     if stride > 1 and pos.size:
         sidx = np.searchsorted(span_starts, pos, side="right") - 1
         pos = pos[(pos - span_starts[sidx]) % stride == 0]
@@ -299,6 +301,7 @@ def _probe_prefilter(index, bits: Optional[int] = None):
 
 def find_weak_seeds_batch(cdbg: Cdbg, reads, spans, *, subs: bool = True,
                           indels: bool = True, stride: int = 1,
+                          near_exact_skip: int = 16,
                           max_hits_per_pos: int = 1) -> List[List[SolidRun]]:
     """Inexact (1-edit) seeds for many read spans in ONE index probe.
 
@@ -335,24 +338,46 @@ def find_weak_seeds_batch(cdbg: Cdbg, reads, spans, *, subs: bool = True,
     concat = np.concatenate(parts)
     starts_arr = np.asarray(starts, np.int64)
 
-    kinds = [("exact", k)]
+    prefilter = _probe_prefilter(cdbg.index)
+    index_keys = KeyArray(k, np.asarray(cdbg.index.keys_lo),
+                          np.asarray(cdbg.index.keys_hi)
+                          if cdbg.index.two_word else None)
+    # exact windows first (1 key/position), VERIFIED against the index;
+    # variant probing then skips positions close to a confirmed exact hit —
+    # a waypoint only needs to exist every weak_seed_min_space bases, so
+    # 1-edit probing near certain anchors is wasted work (and in clean spans
+    # it vanishes entirely)
+    ch0, cl0, fw0, wp0 = _canonical_variants(concat, k, "exact", starts_arr,
+                                             prefilter=prefilter)
+    pos_mask = None
+    if wp0.size:
+        rows0 = index_keys.find(KeyArray(k, cl0, ch0 if k > 32 else None))
+        hit0 = rows0 >= 0
+        ch0, cl0, fw0, wp0 = ch0[hit0], cl0[hit0], fw0[hit0], wp0[hit0]
+    if wp0.size and near_exact_skip > 0:
+        pos_mask = np.ones(len(concat), bool)
+        for d in range(-near_exact_skip, near_exact_skip + 1):
+            idx = np.clip(wp0 + d, 0, len(concat) - 1)
+            pos_mask[idx] = False
+    kinds = []
     if subs:
         kinds.append(("sub", k))
     if indels and k <= 63:
         kinds.append(("del", k + 1))
         kinds.append(("ins", k - 1))
-    prefilter = _probe_prefilter(cdbg.index)
-    chs, cls, fws, poss, rsps, exs = [], [], [], [], [], []
+    chs, cls, fws, poss, rsps, exs = [ch0], [cl0], [fw0], [wp0], \
+        [np.full(len(wp0), k, np.int32)], [np.ones(len(wp0), bool)]
     for kind, rspan in kinds:
         ch, cl, fw, wp = _canonical_variants(concat, k, kind, starts_arr,
                                              stride=stride,
-                                             prefilter=prefilter)
+                                             prefilter=prefilter,
+                                             pos_mask=pos_mask)
         chs.append(ch)
         cls.append(cl)
         fws.append(fw)
         poss.append(wp)
         rsps.append(np.full(len(wp), rspan, np.int32))
-        exs.append(np.full(len(wp), kind == "exact", bool))
+        exs.append(np.full(len(wp), False, bool))
     if not chs:
         return out
     cl_cat = np.concatenate(cls)
@@ -364,9 +389,6 @@ def find_weak_seeds_batch(cdbg: Cdbg, reads, spans, *, subs: bool = True,
     if cl_cat.size == 0:
         return out
 
-    index_keys = KeyArray(k, np.asarray(cdbg.index.keys_lo),
-                          np.asarray(cdbg.index.keys_hi)
-                          if cdbg.index.two_word else None)
     rows = index_keys.find(KeyArray(k, cl_cat, ch_cat if k > 32 else None))
     hit = rows >= 0
     if not hit.any():

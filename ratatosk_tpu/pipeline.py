@@ -128,6 +128,12 @@ def build_pass1_index(opt: CorrectOpt,
     cdbg = B.build_cdbg(short_reads, k, min_count=opt.min_count_kmer)
     _log(opt, f"pass 1: {cdbg.n_unitigs} unitigs, {cdbg.index.n} k-mers "
               f"({time.time() - t0:.1f}s)")
+    # coverage-stratified subsampling (addCoverage phase 5,
+    # Graph.cpp:2312-2871) is available via color_graph(auto_subsample=True)
+    # but stays opt-in here: with our beam's color scoring it measurably
+    # costs accuracy below ~20x retained coverage, so the default keeps full
+    # colors (capped rows bound the memory). An explicit rate < 1 is the
+    # Bernoulli -S.
     colors = color_graph(cdbg, short_reads, read_ids=read_ids,
                          cap=opt.max_cov_vertices,
                          min_cov_edge=opt.min_cov_vertices,
