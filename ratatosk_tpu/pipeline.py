@@ -178,8 +178,15 @@ def build_pass2_index(opt: CorrectOpt,
 
 def correct_file(corrector: Corrector, opt: CorrectOpt, in_paths: List[str],
                  out_path: str, pass_no: int,
-                 trim_qual: int = 0) -> Tuple[int, int]:
-    """Stream long reads in ~read_batch_bp batches through the corrector."""
+                 trim_qual: int = 0,
+                 raw_reads: Optional[dict] = None) -> Tuple[int, int]:
+    """Stream long reads in ~read_batch_bp batches through the corrector.
+
+    raw_reads (pass 2, from -L): name -> raw codes; before correction each
+    input read is rephased against its raw mate — phase-inconsistent pass-1
+    segments are spliced back to raw (phasing(), Graph.cpp:869-1097,
+    Ratatosk.cpp:774-836).
+    """
     n_reads = n_bases = 0
     writer = fastx.FastqWriter(out_path, trim_qual=trim_qual, min_len=opt.k)
     batch_reads: List[np.ndarray] = []
@@ -203,16 +210,33 @@ def correct_file(corrector: Corrector, opt: CorrectOpt, in_paths: List[str],
         batch_names.clear()
 
     bp = 0
+    n_rephased = 0
     for rec in fastx.read_many(_expand_file_lists(in_paths)):
-        batch_reads.append(rec.codes)
-        batch_quals.append(rec.qual)
+        codes, qual = rec.codes, rec.qual
+        if raw_reads is not None:
+            raw = raw_reads.get(rec.name)
+            if raw is None:
+                # the reference hard-aborts on raw/corrected pairing mismatch
+                # (Ratatosk.cpp:786-800)
+                raise SystemExit(
+                    f"-L raw read missing for '{rec.name}': raw and "
+                    f"corrected inputs must contain the same reads")
+            from ratatosk_tpu.graph import rephase as RP
+            codes, qual, n = RP.rephase_read(
+                corrector.cdbg, corrector.colors, raw, codes, qual,
+                insert_sz=opt.insert_sz)
+            n_rephased += n
+        batch_reads.append(codes)
+        batch_quals.append(qual)
         batch_names.append(rec.name)
-        bp += len(rec.codes)
+        bp += len(codes)
         if bp >= opt.read_batch_bp:
             flush()
             bp = 0
     flush()
     writer.close()
+    if raw_reads is not None:
+        _log(opt, f"pass 2: rephased {n_rephased} segments (-L)")
     return n_reads, n_bases
 
 
@@ -261,8 +285,13 @@ def run_correct(opt: CorrectOpt) -> None:
     o2 = _pass_opt(opt, 2)
     corr2 = Corrector(cdbg2, colors2, o2, hap=hap,
                       snps=_detect_snps(opt, cdbg2, colors2))
+    raw_reads = None
+    if opt.filenames_long_raw:
+        raw_reads = {rec.name: rec.codes for rec in
+                     fastx.read_many(_expand_file_lists(opt.filenames_long_raw))}
+        _log(opt, f"pass 2: loaded {len(raw_reads)} raw mates (-L)")
     n, bp = correct_file(corr2, o2, pass2_in, final_out, 2,
-                         trim_qual=opt.trim_qual)
+                         trim_qual=opt.trim_qual, raw_reads=raw_reads)
     _log(opt, f"pass 2: corrected {n} reads / {bp} bases -> {final_out}")
 
 
