@@ -60,33 +60,49 @@ def main() -> None:
     log(f"pass-1 graph: {cdbg.n_unitigs} unitigs, {cdbg.index.n} k-mers "
         f"({time.time() - t0:.1f}s)")
 
-    opt = CorrectOpt(small_k=31, k=63, beam_width=16, batch_regions=512)
+    import os
+    import tempfile
+    from ratatosk_tpu import dna
+    from ratatosk_tpu.io import fastx
+    from ratatosk_tpu.pipeline import correct_file
+
+    # nb_threads=2 double-buffers host planning against device execution;
+    # small batches keep the pipeline full (the production correct_file path)
+    opt = CorrectOpt(small_k=31, k=63, beam_width=16, batch_regions=512,
+                     nb_threads=2, read_batch_bp=64 << 10)
     o1 = _pass_opt(opt, 1)
     corr1 = Corrector(cdbg, colors, o1)
 
+    tmpdir = tempfile.mkdtemp(prefix="rtpu_bench_")
+    lr_path = os.path.join(tmpdir, "long.fq")
     reads = []
-    for _ in range(n_reads):
-        start = int(rng.integers(0, glen - read_len))
-        noisy, _ = testing.noisy_read(rng, genome, start, read_len, err=0.10)
-        reads.append(noisy)
+    with open(lr_path, "w") as f:
+        for i in range(n_reads):
+            start = int(rng.integers(0, glen - read_len))
+            noisy, _ = testing.noisy_read(rng, genome, start, read_len,
+                                          err=0.10)
+            reads.append(noisy)
+            f.write(f"@L{i}\n{dna.decode(noisy)}\n+\n{'!' * len(noisy)}\n")
     total_bases = sum(len(r) for r in reads)
 
     # warm up on the full workload so every bucket shape is compiled (and
     # lands in the persistent cache) before the timed pass
     log("pass-1 warmup (compiles bucket kernels)")
     t0 = time.time()
-    corr1.correct_batch(reads)
+    p1_path = os.path.join(tmpdir, "out.2.fastq")
+    correct_file(corr1, o1, [lr_path], p1_path, 1)
     log(f"pass-1 warmup done ({time.time() - t0:.1f}s)")
 
     corr1.timers = {k: 0.0 for k in corr1.timers}
     t0 = time.time()
-    res1 = corr1.correct_batch(reads)
+    n1, bp1 = correct_file(corr1, o1, [lr_path], p1_path, 1)
     t_pass1 = time.time() - t0
     log(f"pass-1: {total_bases} bases in {t_pass1:.2f}s; breakdown: "
         + ", ".join(f"{k}={v:.2f}s" for k, v in corr1.timers.items()))
 
     log("building pass-2 cDBG k=63 colored by pass-1 output (untimed)")
     t0 = time.time()
+    res1 = list(fastx.read_fastx(p1_path))
     cdbg2, colors2 = build_pass2_index(
         opt, ((r.codes, r.qual) for r in res1), sreads,
         list(range(len(sreads))))
@@ -94,23 +110,22 @@ def main() -> None:
         f"({time.time() - t0:.1f}s)")
     o2 = _pass_opt(opt, 2)
     corr2 = Corrector(cdbg2, colors2, o2)
-    reads2 = [r.codes for r in res1]
-    quals2 = [r.qual for r in res1]
+    p2_path = os.path.join(tmpdir, "out.fastq")
 
     log("pass-2 warmup")
     t0 = time.time()
-    corr2.correct_batch(reads2, quals2)
+    correct_file(corr2, o2, [p1_path], p2_path, 2)
     log(f"pass-2 warmup done ({time.time() - t0:.1f}s)")
 
     corr2.timers = {k: 0.0 for k in corr2.timers}
     t0 = time.time()
-    res2 = corr2.correct_batch(reads2, quals2)
+    n2, bp2 = correct_file(corr2, o2, [p1_path], p2_path, 2)
     t_pass2 = time.time() - t0
     log(f"pass-2: {t_pass2:.2f}s; breakdown: "
         + ", ".join(f"{k}={v:.2f}s" for k, v in corr2.timers.items()))
 
     dt = t_pass1 + t_pass2
-    out_bases = sum(len(r.codes) for r in res2)
+    out_bases = bp2
     bps = total_bases / dt
     log(f"corrected {total_bases} bases through 2 passes in {dt:.2f}s -> "
         f"{bps:.0f} bases/s (output {out_bases} bases); "

@@ -25,7 +25,9 @@ def _add_common(p: argparse.ArgumentParser, correct_mode: bool) -> None:
                    help="input long read file(s) to correct, or list file")
     p.add_argument("-o", "--out-long", required=True,
                    help="output corrected long read file prefix")
-    p.add_argument("-c", "--cores", type=int, default=1)
+    p.add_argument("-c", "--cores", type=int, default=1,
+                   help="host worker threads: >1 overlaps planning of the "
+                        "next batch with device execution of the current one")
     p.add_argument("-S", "--subsampling", type=float, default=1.0)
     p.add_argument("-u", "--in-unmapped-short", action="append", default=[])
     p.add_argument("-a", "--in-accurate-long", action="append", default=[])
@@ -45,7 +47,9 @@ def _add_common(p: argparse.ArgumentParser, correct_mode: bool) -> None:
         p.add_argument("-t", "--trim-split", type=int, default=0)
         p.add_argument("-d", "--in-unitig-data", default=None)
         p.add_argument("-G", "--gzip-out", action="store_true")
-        p.add_argument("-O", "--force-io-order", action="store_true")
+        p.add_argument("-O", "--force-io-order", action="store_true",
+                       help="keep output in input order (always satisfied: "
+                            "this implementation writes inherently in order)")
         p.add_argument("-m", "--min-conf-snp-corr", type=float, default=0.9)
         p.add_argument("-f", "--fix-snps", action="store_true",
                        help="resolve leftover ambiguity (IUPAC) against the "

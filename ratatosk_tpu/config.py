@@ -51,8 +51,6 @@ class CorrectOpt:
     min_len_2nd_pass: int = 3000       # min corrected-read length colored in pass 2
     insert_sz: int = 500               # paired-end insert size
     weak_region_len_factor: float = 0.25
-    large_k_factor: float = 1.5
-    min_color_sharing: float = 0.5
     sampling_rate: float = 1.0
     min_confidence_snp_corr: float = 0.9
     min_confidence_2nd_pass: float = 0.0
@@ -96,16 +94,26 @@ class CorrectOpt:
     beam_width: int = 16          # beam entries per weak region
     band_width: int = 192         # DP band for long regions (edlib-style);
                                   # regions <= 256 bp always run exact
-    max_beam_steps: int = 48      # max unitig extensions per region
     batch_regions: int = 512      # weak regions scored per device batch
+    # shard the k-mer index across the mesh (range partition + pmax combine)
+    # when it holds at least this many keys; below it, replicate per device
+    # (the reference replicates its index per node, Ratatosk.nf:280)
+    shard_index_min_keys: int = 1 << 27
     read_batch_bp: int = 1 << 20  # ~1MB of read data per host batch (Common.hpp:138)
     min_count_kmer: int = 2       # k-mers need >=2 occurrences from reads (Bifrost contract)
-    device_index: bool = True     # keep the k-mer index device-resident
     # pass 2 skips regions whose (pass-1) quality is already maximal
     # (Correction.cpp:779,808,941); never set for raw sequencer quality
     skip_max_quality_regions: bool = False
 
     def validate(self) -> None:
+        # graph (-g) and unitig data (-d) must be loaded together
+        # (Ratatosk.cpp:415-419). Our .npz index bundles both, so -d is
+        # optional alongside -g, but -d alone is the reference's error.
+        if self.filename_data_in and not self.filename_graph_in:
+            raise ValueError(
+                "-d (unitig data) requires -g (graph): the index must be "
+                "loaded together (Ratatosk.cpp:415-419); note the .npz index "
+                "already bundles both")
         if not (0 < self.small_k <= 32):
             raise ValueError(f"small_k must be in (0,32], got {self.small_k}")
         if not (0 < self.k <= 64):

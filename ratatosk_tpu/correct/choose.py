@@ -61,18 +61,24 @@ def _flank_uids(runs, start: int, step: int, pos_lo: int, pos_hi: int,
 
 def choose_region_colors(runs, li: Optional[int], ri: Optional[int],
                          raw_a: int, raw_b: int, colors, branching: np.ndarray,
-                         insert_sz: int, cap: Optional[int] = None
+                         insert_sz: int, cap: Optional[int] = None,
+                         km_cov: Optional[np.ndarray] = None,
+                         max_km_cov: float = float("inf")
                          ) -> Tuple[np.ndarray, np.ndarray]:
     """Color row + per-id weights for the weak region [raw_a, raw_b).
 
     runs: the read's position-sorted SolidRun list; li/ri: indices of the
     left/right anchor runs (None when the region is open on that side).
+    Unitigs at repeat coverage (km_cov >= max_km_cov) contribute no colors
+    (Correction.cpp:487,509,532,554 gate on getKmerCoverage < max_km_cov).
     Returns (row [cap] sorted PAD-padded, weights [cap] int8).
     """
     cap = cap or colors.cap
     rows = colors.rows
 
     def uni(uids: List[int]) -> np.ndarray:
+        if km_cov is not None:
+            uids = [u for u in uids if km_cov[u] < max_km_cov]
         if not uids:
             return np.zeros(0, dtype=np.int32)
         parts = [rows[u][:FLANK_COV] for u in set(uids)]
@@ -81,6 +87,12 @@ def choose_region_colors(runs, li: Optional[int], ri: Optional[int],
 
     anchor_uids = [runs[i].uid for i in (li, ri) if i is not None]
     in_region = uni(anchor_uids)
+    if in_region.size == 0 and anchor_uids:
+        # both anchors at repeat coverage: keep their colors anyway — an
+        # empty region color set would kill every beam branch
+        parts = [rows[u][:FLANK_COV] for u in set(anchor_uids)]
+        ids = np.unique(np.concatenate(parts))
+        in_region = ids[ids != CS.PAD]
 
     left_uids = (_flank_uids(runs, li - 1, -1, raw_a - insert_sz, raw_a,
                              branching) if li is not None and li > 0 else [])

@@ -78,8 +78,12 @@ def make_region_batch(specs: List["RegionSpec"], nt: int, color_cap: int, *,
         colors[i] = sp.colors_row
         weights[i] = (sp.colors_w if sp.colors_w is not None
                       else (sp.colors_row != CS.PAD).astype(np.int8))
-        max_plen[i] = int(np.ceil((1.0 + len_factor) * len(tgt))) + 4
-    lmax = int(np.ceil((1.0 + len_factor) * nt)) + 4
+        # regions anchored on a short-cycle unitig get a doubled budget:
+        # tandem repeats legitimately need paths longer than the raw gap
+        # (the fixRepeats cycle-splicing role, GraphTraversal.cpp:1149-1334)
+        f = len_factor * (2.0 if sp.on_cycle else 1.0)
+        max_plen[i] = int(np.ceil((1.0 + f) * len(tgt))) + 4
+    lmax = int(np.ceil((1.0 + 2.0 * len_factor) * nt)) + 4
     rb = BM.RegionBatch(
         tgt_masks=jnp.asarray(tgt_masks), tgt_len=jnp.asarray(tgt_len),
         start_tip=jnp.asarray(start_tip), start_off=jnp.asarray(start_off),
@@ -109,6 +113,9 @@ class RegionSpec:
     # it to gate acceptance: a walk may only replace bases it agrees with at
     # least as well as their certified identity.
     tgt_qual: Optional[np.ndarray] = None
+    # an anchor unitig lies on a short repeat cycle: the beam gets a doubled
+    # path budget (fixRepeats, GraphTraversal.cpp:1149-1334)
+    on_cycle: bool = False
     # anchors for the backward mirror (gap regions)
     mirror: Optional[tuple] = None
     # right-anchor GRAPH k-mer bases + its raw-window length (differs from k
@@ -159,15 +166,35 @@ class CorrectedRead:
 
 class Corrector:
     def __init__(self, cdbg: Cdbg, colors: GraphColors,
-                 opt: Optional[CorrectOpt] = None, hap=None, snps=None):
+                 opt: Optional[CorrectOpt] = None, hap=None, snps=None,
+                 mesh=None):
         self.cdbg = cdbg
         self.colors = colors
         self.opt = opt or CorrectOpt()
         self.hap = hap   # graph.phasing.HapReads or None
         self.snps = snps  # graph.snp.SnpAnnotations or None
+        # sharded-index mode: when a mesh is given and the index exceeds the
+        # threshold (one-word keys only), anchor lookups run range-partitioned
+        # across the mesh instead of against the replicated host array
+        self.sharded = None
+        if (mesh is not None and not cdbg.index.two_word
+                and cdbg.index.n >= self.opt.shard_index_min_keys):
+            from ratatosk_tpu.parallel.sharded_index import ShardedKmerIndex
+            self.sharded = ShardedKmerIndex(cdbg.index, mesh)
         self.g = DeviceGraph.from_host(cdbg, colors)
         self.nk = cdbg.nkmers
         self.branching = branching_mask(colors.edge_support)
+        # repeat-coverage exclusion threshold (getMaxKmerCoverage,
+        # Graph.cpp:825-841; Ratatosk.cpp:625): unitigs in the top
+        # top_km_cov_ratio coverage quantile contribute no colors
+        km_cov = colors.coverage / np.maximum(cdbg.nkmers, 1)
+        if len(km_cov):
+            q = np.sort(km_cov)[::-1][int(len(km_cov) * self.opt.top_km_cov_ratio)]
+            self.max_km_cov = max(float(q), float(self.opt.max_km_cov))
+        else:
+            self.max_km_cov = float(self.opt.max_km_cov)
+        self.km_cov = km_cov
+        self._cycle_cache: dict = {}
         self.qv_max = self.opt.max_qual
         self._cur_hap = -1   # haplotype of the read being planned
         # wall-time breakdown (seconds), for bench/verbose reporting
@@ -201,7 +228,8 @@ class Corrector:
         when phased (Correction.cpp:256)."""
         row, wts = choose_region_colors(
             runs, li, ri, raw_a, raw_b, self.colors, self.branching,
-            self.opt.insert_sz)
+            self.opt.insert_sz, km_cov=self.km_cov,
+            max_km_cov=self.max_km_cov)
         if self.hap is not None and self._cur_hap >= 0:
             from ratatosk_tpu.graph import phasing as PH
             new_row = PH.filter_colors_by_hap(row, self.hap, self._cur_hap)
@@ -212,7 +240,10 @@ class Corrector:
         return row, wts
 
     def _qual_for(self, score: float) -> int:
-        return dna.get_qual_char(max(score, 0.0), qv_max=self.qv_max)
+        # out_qual is the reference's quality floor (getQual qv_min,
+        # Common.hpp:410-418)
+        return dna.get_qual_char(max(score, 0.0), qv_min=self.opt.out_qual,
+                                 qv_max=self.qv_max)
 
     def _region_quality(self, seq: np.ndarray, tgt: np.ndarray,
                         s1: float, s2: Optional[float]) -> np.ndarray:
@@ -331,7 +362,9 @@ class Corrector:
         per-span probe loop was the dominant host cost.
         """
         opt = self.opt
-        runs_list = [filter_runs_by_color(find_runs(self.cdbg, r), self.colors)
+        probe = self._probe()
+        runs_list = [filter_runs_by_color(find_runs(self.cdbg, r, probe=probe),
+                                          self.colors)
                      for r in reads]
         wps_list: List[List[SolidRun]] = [[] for _ in reads]
         if not opt.use_weak_seeds:
@@ -491,6 +524,32 @@ class Corrector:
             n_res += 1
         return n_res
 
+    def _probe(self):
+        """Anchor-lookup probe for find_runs: sharded device lookup when the
+        sharded-index mode is active, else None (replicated host array)."""
+        if self.sharded is None:
+            return None
+        sh = self.sharded
+
+        def probe(can, valid):
+            uid, pos, strand = sh.lookup(np.asarray(can.lo))
+            uid = np.asarray(uid).copy()
+            uid[~valid] = -1
+            return uid, np.asarray(pos), np.asarray(strand).astype(bool)
+
+        return probe
+
+    def _on_cycle(self, uid: int) -> bool:
+        """Lazy, cached short-cycle test for an anchor unitig
+        (detectShortCycles, Graph.cpp:4659-4855)."""
+        hit = self._cycle_cache.get(uid)
+        if hit is None:
+            from ratatosk_tpu.graph.cycles import unitig_on_cycle
+            hit = unitig_on_cycle(self.cdbg, uid, self.colors,
+                                  min_cov=self.opt.min_cov_vertices)
+            self._cycle_cache[uid] = hit
+        return hit
+
     def _span_max_quality(self, a: int, b: int) -> bool:
         """True when raw span [a,b) is already at max confidence (pass 2)."""
         q = getattr(self, "_max_q", None)
@@ -546,6 +605,7 @@ class Corrector:
             end_tip=(nxt.uid << 1) | nxt.direction, end_off=nxt.o_s + k,
             colors_row=c_row, colors_w=c_w,
             tgt_qual=None if q_cur is None else q_cur[raw_a:raw_b].copy(),
+            on_cycle=self._on_cycle(run.uid) or self._on_cycle(nxt.uid),
             mirror=mirror,
             mirror_tgt=dna.revcomp_codes(codes[m_a:m_b]),
             end_anchor=self._oriented_slice(nxt.uid, nxt.direction,
@@ -865,10 +925,14 @@ class Corrector:
 
     # ---------- public API ----------
 
-    def correct_batch(self, reads: Sequence[np.ndarray],
-                      quals: Optional[Sequence[np.ndarray]] = None,
-                      names: Optional[Sequence[str]] = None
-                      ) -> List[CorrectedRead]:
+    def plan_batch(self, reads: Sequence[np.ndarray],
+                   quals: Optional[Sequence[np.ndarray]] = None,
+                   names: Optional[Sequence[str]] = None):
+        """Host-side planning of a batch: seeds, waypoints, region specs.
+
+        Split from execution so a driver can overlap planning of the next
+        batch with device execution of the current one (the reference's
+        worker-pool structure, Ratatosk.cpp:618-909)."""
         regions: List[RegionSpec] = []
         plans = []
         t0 = _time.time()
@@ -884,10 +948,20 @@ class Corrector:
                                          runs=runs_list[i], wps=wps_list[i]))
         self._cur_hap = -1
         self.timers["plan"] += _time.time() - t0
-        self._execute_regions(regions)
+        return reads_np, plans, regions
+
+    def assemble_batch(self, reads_np, quals, plans, regions
+                       ) -> List[CorrectedRead]:
         out = []
-        for i, (codes, segs) in enumerate(zip(reads, plans)):
+        for i, (codes, segs) in enumerate(zip(reads_np, plans)):
             rq = None if quals is None else quals[i]
-            out.append(self._assemble(np.asarray(codes, dtype=np.uint8), rq,
-                                      segs, regions))
+            out.append(self._assemble(codes, rq, segs, regions))
         return out
+
+    def correct_batch(self, reads: Sequence[np.ndarray],
+                      quals: Optional[Sequence[np.ndarray]] = None,
+                      names: Optional[Sequence[str]] = None
+                      ) -> List[CorrectedRead]:
+        reads_np, plans, regions = self.plan_batch(reads, quals, names)
+        self._execute_regions(regions)
+        return self.assemble_batch(reads_np, quals, plans, regions)

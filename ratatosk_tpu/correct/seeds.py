@@ -49,22 +49,31 @@ class SolidRun:
         return self.o_s + (self.e - self.s)
 
 
-def find_runs(cdbg: Cdbg, codes: np.ndarray) -> List[SolidRun]:
+def find_runs(cdbg: Cdbg, codes: np.ndarray, probe=None) -> List[SolidRun]:
+    """probe (optional): (canonical KeyArray, valid) -> (uid, pos, strand)
+    int arrays with uid=-1 at misses — lets a sharded device index serve the
+    lookups instead of the replicated host array."""
     k = cdbg.k
     if codes.shape[-1] < k:
         return []
     ka, valid = KeyArray.from_codes(codes, k)
     can, is_fw = ka.canonical()
-    keys = KeyArray(k, np.asarray(cdbg.index.keys_lo),
-                    np.asarray(cdbg.index.keys_hi) if cdbg.index.two_word else None)
-    rows = keys.find(can)
-    rows[~valid] = -1
-    hit = rows >= 0
-    if not hit.any():
-        return []
-    uid = np.where(hit, np.asarray(cdbg.index.unitig_id)[np.maximum(rows, 0)], -1)
-    pos = np.where(hit, np.asarray(cdbg.index.pos)[np.maximum(rows, 0)], 0)
-    strand = np.asarray(cdbg.index.strand)[np.maximum(rows, 0)]
+    if probe is not None:
+        uid, pos, strand = probe(can, valid)
+        hit = uid >= 0
+        if not hit.any():
+            return []
+    else:
+        keys = KeyArray(k, np.asarray(cdbg.index.keys_lo),
+                        np.asarray(cdbg.index.keys_hi) if cdbg.index.two_word else None)
+        rows = keys.find(can)
+        rows[~valid] = -1
+        hit = rows >= 0
+        if not hit.any():
+            return []
+        uid = np.where(hit, np.asarray(cdbg.index.unitig_id)[np.maximum(rows, 0)], -1)
+        pos = np.where(hit, np.asarray(cdbg.index.pos)[np.maximum(rows, 0)], 0)
+        strand = np.asarray(cdbg.index.strand)[np.maximum(rows, 0)]
     # read k-mer maps forward on the unitig iff its canonical orientation
     # agrees with the stored canonical-vs-forward flag
     direction = np.where(hit & (is_fw == strand), 0, 1)

@@ -22,6 +22,45 @@ from ratatosk_tpu.graph.build import Cdbg
 from ratatosk_tpu.graph.colors import GraphColors
 
 
+def unitig_on_cycle(cdbg: Cdbg, u: int,
+                    colors: Optional[GraphColors] = None,
+                    max_len_factor: int = 2, min_cov: int = 2) -> bool:
+    """True when unitig u lies on a read-supported cycle of <= 2k appended bp
+    (single-unitig BFS; the engine queries anchors lazily and caches)."""
+    k = cdbg.k
+    max_bp = max_len_factor * k
+    nk = cdbg.nkmers
+    edges = cdbg.edges
+    support = colors.edge_support if colors is not None else None
+    card = colors.card if colors is not None else None
+    start = (u << 1) | 0
+    frontier = [(start, 0)]
+    seen = set()
+    while frontier:
+        nxt = []
+        for tip, dist in frontier:
+            v, d = tip >> 1, tip & 1
+            for c in range(4):
+                e = edges[v, d, c]
+                if e < 0:
+                    continue
+                if support is not None and not support[v, d, c]:
+                    continue
+                w = e >> 1
+                if card is not None and w != u and card[w] < min_cov:
+                    continue
+                nd = dist + int(nk[w])
+                if e == start:
+                    return True
+                if nd >= max_bp:
+                    continue
+                if e not in seen:
+                    seen.add(e)
+                    nxt.append((e, nd))
+        frontier = nxt
+    return False
+
+
 def detect_short_cycles(cdbg: Cdbg, colors: Optional[GraphColors] = None,
                         max_len_factor: int = 2, min_cov: int = 2) -> np.ndarray:
     """bool [N]: unitig lies on a read-supported cycle of <= 2k appended bp.
@@ -29,50 +68,10 @@ def detect_short_cycles(cdbg: Cdbg, colors: Optional[GraphColors] = None,
     Matches the reference's bound (total path <= 2k bp, Graph.cpp:4723) and
     inner-coverage requirement (>= 2 reads per inner unitig, 4716-4720).
     """
-    k = cdbg.k
     n = cdbg.n_unitigs
-    max_bp = max_len_factor * k
-    ulen = cdbg.ulen
-    nk = cdbg.nkmers
     on_cycle = np.zeros(n, dtype=bool)
-    edges = cdbg.edges
-    support = colors.edge_support if colors is not None else None
-    card = colors.card if colors is not None else None
-
     for u in range(n):
-        if on_cycle[u]:
-            continue
-        # BFS from (u, fw) over oriented tips; appended length = k-1 overlap
-        # skipped, so each edge crossing adds (nkmers of target) bp at most
-        start = (u << 1) | 0
-        frontier = [(start, 0)]
-        seen = set()
-        found = False
-        while frontier and not found:
-            nxt = []
-            for tip, dist in frontier:
-                v, d = tip >> 1, tip & 1
-                for c in range(4):
-                    e = edges[v, d, c]
-                    if e < 0:
-                        continue
-                    if support is not None and not support[v, d, c]:
-                        continue
-                    w = e >> 1
-                    if card is not None and w != u and card[w] < min_cov:
-                        continue
-                    nd = dist + int(nk[w])
-                    if e == start:
-                        found = True
-                        break
-                    if nd >= max_bp:
-                        continue
-                    if (e, min(nd, max_bp)) not in seen:
-                        seen.add((e, min(nd, max_bp)))
-                        nxt.append((e, nd))
-                if found:
-                    break
-            frontier = nxt
-        if found:
-            on_cycle[u] = True
+        on_cycle[u] = unitig_on_cycle(cdbg, u, colors,
+                                      max_len_factor=max_len_factor,
+                                      min_cov=min_cov)
     return on_cycle

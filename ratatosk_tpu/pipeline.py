@@ -189,51 +189,81 @@ def correct_file(corrector: Corrector, opt: CorrectOpt, in_paths: List[str],
     """
     n_reads = n_bases = 0
     writer = fastx.FastqWriter(out_path, trim_qual=trim_qual, min_len=opt.k)
-    batch_reads: List[np.ndarray] = []
-    batch_quals: List[Optional[np.ndarray]] = []
-    batch_names: List[str] = []
+    n_rephased = 0
 
-    def flush():
+    def batches():
+        nonlocal n_rephased
+        batch_reads: List[np.ndarray] = []
+        batch_quals: List[Optional[np.ndarray]] = []
+        batch_names: List[str] = []
+        bp = 0
+        for rec in fastx.read_many(_expand_file_lists(in_paths)):
+            codes, qual = rec.codes, rec.qual
+            if raw_reads is not None:
+                raw = raw_reads.get(rec.name)
+                if raw is None:
+                    # the reference hard-aborts on raw/corrected pairing
+                    # mismatch (Ratatosk.cpp:786-800)
+                    raise SystemExit(
+                        f"-L raw read missing for '{rec.name}': raw and "
+                        f"corrected inputs must contain the same reads")
+                from ratatosk_tpu.graph import rephase as RP
+                codes, qual, n = RP.rephase_read(
+                    corrector.cdbg, corrector.colors, raw, codes, qual,
+                    insert_sz=opt.insert_sz)
+                n_rephased += n
+            batch_reads.append(codes)
+            batch_quals.append(qual)
+            batch_names.append(rec.name)
+            bp += len(codes)
+            if bp >= opt.read_batch_bp:
+                yield batch_reads, batch_quals, batch_names
+                batch_reads, batch_quals, batch_names, bp = [], [], [], 0
+        if batch_reads:
+            yield batch_reads, batch_quals, batch_names
+
+    def emit(names, results):
         nonlocal n_reads, n_bases
-        if not batch_reads:
-            return
-        quals = batch_quals if any(q is not None for q in batch_quals) else None
-        results = corrector.correct_batch(batch_reads, quals, batch_names)
-        for name, cr in zip(batch_names, results):
+        for name, cr in zip(names, results):
             if opt.fix_snps and pass_no == 2:
                 corrector.resolve_iupac(cr)   # fixSNPs, Alignment.cpp:846-965
             writer.write(name, cr.codes, cr.qual, cr.iupac)
             n_reads += 1
             n_bases += len(cr.codes)
-        batch_reads.clear()
-        batch_quals.clear()
-        batch_names.clear()
 
-    bp = 0
-    n_rephased = 0
-    for rec in fastx.read_many(_expand_file_lists(in_paths)):
-        codes, qual = rec.codes, rec.qual
-        if raw_reads is not None:
-            raw = raw_reads.get(rec.name)
-            if raw is None:
-                # the reference hard-aborts on raw/corrected pairing mismatch
-                # (Ratatosk.cpp:786-800)
-                raise SystemExit(
-                    f"-L raw read missing for '{rec.name}': raw and "
-                    f"corrected inputs must contain the same reads")
-            from ratatosk_tpu.graph import rephase as RP
-            codes, qual, n = RP.rephase_read(
-                corrector.cdbg, corrector.colors, raw, codes, qual,
-                insert_sz=opt.insert_sz)
-            n_rephased += n
-        batch_reads.append(codes)
-        batch_quals.append(qual)
-        batch_names.append(rec.name)
-        bp += len(codes)
-        if bp >= opt.read_batch_bp:
-            flush()
-            bp = 0
-    flush()
+    def plan(batch):
+        reads, quals_b, names = batch
+        quals = quals_b if any(q is not None for q in quals_b) else None
+        return (names, quals,
+                corrector.plan_batch(reads, quals, names))
+
+    if opt.nb_threads > 1:
+        # double-buffer (the reference's worker-pool streaming driver,
+        # Ratatosk.cpp:618-909): a worker thread plans batch N+1 while this
+        # thread drives the device for batch N — numpy planning and the
+        # blocking device fetch both release the GIL
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = None
+            for batch in batches():
+                nxt = pool.submit(plan, batch)
+                if fut is not None:
+                    names, quals, (reads_np, plans, regions) = fut.result()
+                    corrector._execute_regions(regions)
+                    emit(names, corrector.assemble_batch(reads_np, quals,
+                                                         plans, regions))
+                fut = nxt
+            if fut is not None:
+                names, quals, (reads_np, plans, regions) = fut.result()
+                corrector._execute_regions(regions)
+                emit(names, corrector.assemble_batch(reads_np, quals,
+                                                     plans, regions))
+    else:
+        for batch in batches():
+            names, quals, (reads_np, plans, regions) = plan(batch)
+            corrector._execute_regions(regions)
+            emit(names, corrector.assemble_batch(reads_np, quals, plans,
+                                                 regions))
     writer.close()
     if raw_reads is not None:
         _log(opt, f"pass 2: rephased {n_rephased} segments (-L)")

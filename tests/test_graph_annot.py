@@ -57,7 +57,49 @@ def test_short_cycle_detection():
     genome = np.concatenate([flank1, np.tile(unit, 6), flank2])
     cdbg = B.build_cdbg([genome], K, min_count=1)
     cyc = CY.detect_short_cycles(cdbg)
+    # lazy single-unitig probe (the engine's path) agrees with the batch scan
+    for u in range(cdbg.n_unitigs):
+        assert CY.unitig_on_cycle(cdbg, u) == bool(cyc[u])
     assert cyc.any(), "tandem repeat should produce a short cycle"
     # plain genome: no cycles
     cdbg2 = B.build_cdbg([flank1], K, min_count=1)
     assert not CY.detect_short_cycles(cdbg2).any()
+
+
+def test_cycle_anchor_widens_region_budget():
+    """A weak region anchored on a short-cycle unitig gets on_cycle=True and
+    a doubled path budget (the fixRepeats widening,
+    GraphTraversal.cpp:1149-1334), and still corrects across the tandem."""
+    import numpy as np
+    from ratatosk_tpu.config import CorrectOpt
+    from ratatosk_tpu.correct.engine import Corrector, make_region_batch
+    from ratatosk_tpu.graph import build as B
+    from ratatosk_tpu.graph.colors import color_graph
+    from tests import sim
+    rng = np.random.default_rng(321)
+    k = 17
+    unit = sim.random_genome(rng, 30)
+    genome = np.concatenate([sim.random_genome(rng, 3000)] + [unit] * 8
+                            + [sim.random_genome(rng, 3000)])
+    sreads = sim.short_reads(rng, genome, coverage=40.0, read_len=100)
+    cdbg = B.build_cdbg(sreads, k, min_count=2)
+    colors = color_graph(cdbg, sreads)
+    corr = Corrector(cdbg, colors, CorrectOpt(small_k=k, k=63, beam_width=8,
+                                              batch_regions=32))
+    noisy, true = sim.long_reads(rng, genome, n=1, min_len=2000, max_len=2000,
+                                 err=0.08)[0][:2], None
+    noisy, true = noisy[0], noisy[1]
+    reads_np = [np.asarray(noisy, np.uint8)]
+    runs_list, wps_list = corr._plan_seeds(reads_np, None, [-1])
+    regions = []
+    corr._plan_read(0, reads_np[0], regions, runs=runs_list[0],
+                    wps=wps_list[0])
+    # some unitig of the tandem must register as cyclic
+    assert any(corr._on_cycle(u) for u in range(cdbg.n_unitigs))
+    cyc_regions = [sp for sp in regions if sp.on_cycle]
+    if cyc_regions:
+        rb, _ = make_region_batch(cyc_regions, 256, colors.cap,
+                                  r_pad=max(8, len(cyc_regions)))
+        mp = np.asarray(rb.max_plen)[:len(cyc_regions)]
+        for sp, m in zip(cyc_regions, mp):
+            assert m == int(np.ceil(1.5 * len(sp.tgt))) + 4

@@ -121,6 +121,21 @@ def test_trim_split(dataset, tmp_path):
         assert (r.qual >= 33 + 35).all()         # all quals >= threshold
 
 
+def test_pipelined_threads_match_sequential(dataset, tmp_path):
+    """-c 2 double-buffers planning against device execution; output must be
+    bit-identical to the sequential path."""
+    tmp, genome, lreads, sr, lr = dataset
+    outs = {}
+    for c in (1, 2):
+        out = str(tmp_path / f"thr{c}")
+        rc = cli.main(["correct", "-s", sr, "-l", lr, "-o", out, "-1",
+                       "-k", str(K1), "-K", str(K2), "-c", str(c),
+                       "--beam-width", "8", "--batch-regions", "32"])
+        assert rc == 0
+        outs[c] = open(out + ".fastq").read()
+    assert outs[1] == outs[2]
+
+
 def test_version_and_cite(capsys):
     assert cli.main(["--version"]) == 0
     assert cli.main(["--cite"]) == 0

@@ -15,6 +15,32 @@ from tests import sim
 K = 21
 
 
+def test_sharded_corrector_mode_matches_replicated():
+    """Corrector with mesh + shard_index_min_keys=0 routes anchor lookups
+    through the range-partitioned index; corrected output is bit-identical to
+    the replicated-index corrector."""
+    import numpy as np
+    from ratatosk_tpu import testing
+    from ratatosk_tpu.config import CorrectOpt
+    from ratatosk_tpu.correct.engine import Corrector
+    from ratatosk_tpu.parallel.mesh import make_mesh
+    rng = np.random.default_rng(77)
+    genome, base = testing.build_toy_corrector(seed=77, glen=8000, k=17)
+    opt = CorrectOpt(small_k=17, k=63, beam_width=8, batch_regions=32,
+                     shard_index_min_keys=0)
+    mesh = make_mesh(8)
+    sharded = Corrector(base.cdbg, base.colors, opt, mesh=mesh)
+    assert sharded.sharded is not None
+    plain = Corrector(base.cdbg, base.colors, opt)
+    reads = [testing.noisy_read(rng, genome, 200 + 900 * i, 1500, err=0.08)[0]
+             for i in range(3)]
+    out_s = sharded.correct_batch(reads)
+    out_p = plain.correct_batch(reads)
+    for a, b in zip(out_s, out_p):
+        np.testing.assert_array_equal(a.codes, b.codes)
+        np.testing.assert_array_equal(a.qual, b.qual)
+
+
 def test_sharded_lookup_matches_replicated():
     rng = np.random.default_rng(800)
     genome = sim.random_genome(rng, 20000)
