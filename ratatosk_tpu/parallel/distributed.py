@@ -33,9 +33,17 @@ def init_distributed(coordinator: Optional[str] = None,
     if process_id is None:
         process_id = int(os.environ.get("RATATOSK_PROCESS_ID", "0"))
     if num_processes > 1:
-        jax.distributed.initialize(coordinator_address=coordinator,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
+        try:
+            jax.distributed.initialize(coordinator_address=coordinator,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+        except RuntimeError as e:
+            # already initialized by the launcher (it must run before any
+            # backend-touching jax call) — trust the live runtime
+            if "already" not in str(e) and "must be called before" not in str(e):
+                raise
+            assert jax.process_count() == num_processes
+            process_id = jax.process_index()
     return process_id, num_processes
 
 
@@ -67,26 +75,18 @@ def merge_parts(prefix: str, num_processes: int, final_path: str) -> None:
 
 
 def allreduce_stats(stats: dict) -> dict:
-    """Sum integer stats across hosts via a psum on the global mesh."""
+    """Sum integer stats across hosts (device collective over the global
+    mesh via process_allgather; doubles as the end-of-shard barrier)."""
     import jax
     import jax.numpy as jnp
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.experimental import multihost_utils
 
     if jax.process_count() == 1:
         return dict(stats)
     keys = sorted(stats)
-    local = jnp.asarray([stats[k] for k in keys], dtype=jnp.int64)
-    devs = np.asarray(jax.devices())
-    mesh = Mesh(devs, ("d",))
-    # one replica per device; psum over all devices then divide by local
-    # device count so each host contributes once
-    nd_local = jax.local_device_count()
-    out = jax.jit(
-        lambda x: jax.lax.psum(x, "d"),
-        in_shardings=NamedSharding(mesh, P()),
-        out_shardings=NamedSharding(mesh, P()),
-    )
-    summed = np.asarray(out(local)) // nd_local
+    local = jnp.asarray([stats[k] for k in keys], dtype=jnp.int32)
+    gathered = np.asarray(multihost_utils.process_allgather(local))
+    summed = gathered.sum(axis=0)
     return {k: int(v) for k, v in zip(keys, summed)}
 
 

@@ -1,0 +1,90 @@
+"""Golden-output harness vs the reference binary (BASELINE.json north star).
+
+The reference cannot be built in this environment: its Bifrost dependency is
+a git submodule (reference .gitmodules points at github.com/pmelsted/bifrost)
+whose sources are NOT vendored, and the build sandbox has no network egress.
+When a prebuilt binary is supplied via RATATOSK_BIN, this harness runs
+BASELINE.json configs[0-2] shapes (one-step, two-step, four-step
+index/correct) on a simulated dataset through BOTH implementations and
+reports agreement; without it the tests skip with that reason rather than
+silently passing.
+"""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from ratatosk_tpu import cli, dna
+from ratatosk_tpu.io import fastx
+from tests import sim
+
+RATATOSK_BIN = os.environ.get("RATATOSK_BIN")
+
+pytestmark = pytest.mark.skipif(
+    not (RATATOSK_BIN and shutil.which(RATATOSK_BIN)),
+    reason="reference binary unavailable: Bifrost submodule sources are not "
+           "vendored and the sandbox has no network egress; set RATATOSK_BIN "
+           "to a prebuilt Ratatosk to run the golden comparison")
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("golden")
+    rng = np.random.default_rng(4242)
+    genome = sim.random_genome(rng, 50_000)
+    sreads = sim.short_reads(rng, genome, coverage=40.0, read_len=150)
+    sr = str(tmp / "short.fa")
+    with open(sr, "w") as f:
+        for i, r in enumerate(sreads):
+            f.write(f">s{i}\n{dna.decode(r)}\n")
+    lreads = sim.long_reads(rng, genome, n=8, min_len=2000, max_len=4000,
+                            err=0.10)
+    lr = str(tmp / "long.fq")
+    with open(lr, "w") as f:
+        for i, (noisy, _, _) in enumerate(lreads):
+            f.write(f"@lr{i}\n{dna.decode(noisy)}\n+\n{'!' * len(noisy)}\n")
+    return tmp, lreads, sr, lr
+
+
+def _agreement(path_a: str, path_b: str) -> float:
+    """Mean per-read identity between two corrected FASTQs (NW)."""
+    from ratatosk_tpu.ops import cigar as CG
+    a = {r.name: r.codes for r in fastx.read_fastx(path_a)}
+    b = {r.name: r.codes for r in fastx.read_fastx(path_b)}
+    assert a.keys() == b.keys()
+    idents = []
+    for n in a:
+        d = CG.aln_dist(dna.codes_to_masks(a[n]), dna.codes_to_masks(b[n]),
+                        CG.NW)
+        idents.append(1.0 - d / max(len(a[n]), len(b[n]), 1))
+    return float(np.mean(idents))
+
+
+def test_golden_one_step(dataset):
+    """configs[0]: one-step correct, pass 1 only."""
+    tmp, lreads, sr, lr = dataset
+    ours = str(tmp / "ours1")
+    assert cli.main(["correct", "-s", sr, "-l", lr, "-o", ours, "-1"]) == 0
+    ref = str(tmp / "ref1")
+    subprocess.run([RATATOSK_BIN, "correct", "-s", sr, "-l", lr, "-o", ref,
+                    "-1"], check=True)
+    agree = _agreement(ours + ".fastq", ref + ".fastq")
+    print(f"golden one-step agreement: {agree:.5f}")
+    assert agree > 0.995
+
+
+def test_golden_two_step(dataset):
+    """configs[1]: -1 then -2, intermediate .2.fastq equality."""
+    tmp, lreads, sr, lr = dataset
+    ours = str(tmp / "ours2")
+    assert cli.main(["correct", "-s", sr, "-l", lr, "-o", ours]) == 0
+    ref = str(tmp / "ref2")
+    subprocess.run([RATATOSK_BIN, "correct", "-s", sr, "-l", lr, "-o", ref],
+                   check=True)
+    agree_mid = _agreement(ours + ".2.fastq", ref + ".2.fastq")
+    agree = _agreement(ours + ".fastq", ref + ".fastq")
+    print(f"golden two-step agreement: mid {agree_mid:.5f} final {agree:.5f}")
+    assert agree > 0.995
