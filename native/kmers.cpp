@@ -1,0 +1,349 @@
+// Host-side k-mer kernels: rolling canonical packing, sorted-index lookup,
+// and the batched 1-edit seed probe.
+//
+// Native runtime companion to ratatosk_tpu/ops/kmers.py and
+// ratatosk_tpu/correct/seeds.py: the reference's Bifrost substrate does the
+// same jobs in C++ (KmerHashIterator rolling hashes, CompactedDBG::find /
+// searchSequence — SURVEY.md §2.3); here the index is a sorted canonical key
+// array (one uint64 word for k<=32, two for k<=64) and every window is
+// maintained as a rolling 2k-bit value in an unsigned __int128, so packing
+// is O(1) per base instead of numpy's k shifted temporaries per window.
+//
+// Key layout matches ops/kmers.py: value = hi * 2^64 + lo; base j (leftmost)
+// of an m-mer sits at bits 2*(m-1-j). Variant bit-surgery mirrors
+// correct/seeds.py:_set/_drop/_insert_base128 exactly (tests cross-check the
+// two implementations). Hash = splitmix64 (ops/kmers.py:126-139).
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+typedef unsigned __int128 u128;
+
+static inline u128 mask_bits(int nbits) {
+    if (nbits >= 128) return ~(u128)0;
+    if (nbits <= 0) return 0;
+    return ((u128)1 << nbits) - 1;
+}
+
+static inline uint64_t sm64(uint64_t x) {
+    x += 0x9E3779B97F4A7C15ull;
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ull;
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EBull;
+    return x ^ (x >> 31);
+}
+
+static inline uint64_t hash_key(u128 q, bool two_word) {
+    uint64_t lo = (uint64_t)q, hi = (uint64_t)(q >> 64);
+    return two_word ? sm64(hi ^ sm64(lo)) : sm64(lo);
+}
+
+// lower_bound over sorted (hi,lo) keys; khi may be null (one-word keys)
+static inline int64_t find_key(const uint64_t* khi, const uint64_t* klo,
+                               int64_t n, u128 q) {
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        u128 kk = khi ? (((u128)khi[mid] << 64) | klo[mid]) : (u128)klo[mid];
+        if (kk < q) lo = mid + 1; else hi = mid;
+    }
+    if (lo < n) {
+        u128 kk = khi ? (((u128)khi[lo] << 64) | klo[lo]) : (u128)klo[lo];
+        if (kk == q) return lo;
+    }
+    return -1;
+}
+
+// Rolling m-base window over a code stream: fw packs bases left-to-right,
+// rc is the reverse complement, both as 2m-bit values.
+struct Roll {
+    u128 fw = 0, rc = 0, mask;
+    int m, run = 0;
+    explicit Roll(int m_) : mask(mask_bits(2 * m_)), m(m_) {}
+    inline void push(uint8_t c) {
+        if (c >= 4) { run = 0; fw = 0; rc = 0; return; }
+        fw = ((fw << 2) | c) & mask;
+        rc = (rc >> 2) | ((u128)(3 - c) << (2 * (m - 1)));
+        ++run;
+    }
+    inline bool full() const { return run >= m; }
+};
+
+// ---------------------------------------------------------------------------
+// variant bit-surgery (mirrors correct/seeds.py)
+// ---------------------------------------------------------------------------
+
+static inline u128 set_base(u128 n, int m, int p, int b) {
+    int s = 2 * (m - 1 - p);
+    return (n & ~((u128)3 << s)) | ((u128)b << s);
+}
+
+static inline int get_base(u128 n, int m, int p) {
+    return (int)((n >> (2 * (m - 1 - p))) & 3);
+}
+
+static inline u128 drop_base(u128 n, int m, int p) {
+    u128 upper = n >> (2 * (m - p));
+    u128 lower = n & mask_bits(2 * (m - 1 - p));
+    return (upper << (2 * (m - 1 - p))) | lower;
+}
+
+static inline u128 insert_base(u128 n, int m, int p, int b) {
+    u128 upper = n >> (2 * (m - p));
+    u128 lower = n & mask_bits(2 * (m - p));
+    return (upper << (2 * (m - p + 1))) | ((u128)b << (2 * (m - p))) | lower;
+}
+
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Canonical key of every k-window of `codes`. Output arrays length L-k+1.
+void rt_canonical(const uint8_t* codes, int64_t L, int32_t k,
+                  uint64_t* out_hi, uint64_t* out_lo, uint8_t* out_valid,
+                  uint8_t* out_isfw, int32_t n_threads) {
+    int64_t P = L - k + 1;
+    if (P <= 0) return;
+    if (n_threads < 1) n_threads = 1;
+    auto work = [&](int64_t a, int64_t b) {
+        // windows [a, b): consume bases from a to b+k-2
+        Roll w(k);
+        for (int64_t i = a; i < b + k - 1; ++i) {
+            w.push(codes[i]);
+            int64_t p = i - k + 1;
+            if (p < a) continue;
+            if (!w.full()) { out_valid[p] = 0; out_lo[p] = 0;
+                if (out_hi) out_hi[p] = 0; out_isfw[p] = 1; continue; }
+            bool fwle = w.fw <= w.rc;
+            u128 q = fwle ? w.fw : w.rc;
+            out_valid[p] = 1;
+            out_isfw[p] = fwle ? 1 : 0;
+            out_lo[p] = (uint64_t)q;
+            if (out_hi) out_hi[p] = (uint64_t)(q >> 64);
+        }
+    };
+    if (n_threads == 1 || P < 4096) { work(0, P); return; }
+    std::vector<std::thread> ts;
+    int64_t step = (P + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        int64_t a = t * step, b = std::min<int64_t>(P, a + step);
+        if (a >= b) break;
+        ts.emplace_back(work, a, b);
+    }
+    for (auto& t : ts) t.join();
+}
+
+// Exact lookup of every k-window against the sorted index.
+// out_row[p] = index row or -1 (miss / invalid window).
+void rt_lookup(const uint8_t* codes, int64_t L, int32_t k,
+               const uint64_t* keys_hi, const uint64_t* keys_lo,
+               int64_t n_keys,
+               int64_t* out_row, uint8_t* out_isfw, int32_t n_threads) {
+    int64_t P = L - k + 1;
+    if (P <= 0) return;
+    if (n_threads < 1) n_threads = 1;
+    auto work = [&](int64_t a, int64_t b) {
+        Roll w(k);
+        for (int64_t i = a; i < b + k - 1; ++i) {
+            w.push(codes[i]);
+            int64_t p = i - k + 1;
+            if (p < a) continue;
+            if (!w.full()) { out_row[p] = -1; out_isfw[p] = 1; continue; }
+            bool fwle = w.fw <= w.rc;
+            out_isfw[p] = fwle ? 1 : 0;
+            out_row[p] = find_key(keys_hi, keys_lo, n_keys,
+                                  fwle ? w.fw : w.rc);
+        }
+    };
+    if (n_threads == 1 || P < 4096) { work(0, P); return; }
+    std::vector<std::thread> ts;
+    int64_t step = (P + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        int64_t a = t * step, b = std::min<int64_t>(P, a + step);
+        if (a >= b) break;
+        ts.emplace_back(work, a, b);
+    }
+    for (auto& t : ts) t.join();
+}
+
+struct Hit { int64_t pos, row; uint8_t fw, kind; };
+
+// 1-edit seed probe over concatenated spans (separated by invalid bases).
+// kinds: 0 = exact (k-window), 1 = sub (k), 2 = del (k+1 read window),
+// 3 = ins (k-1 read window). Mirrors seeds.py:find_weak_seeds_batch's
+// variant enumeration, prefilter, and near-exact suppression.
+// Returns hit count, or -(needed) when `cap` is too small.
+int64_t rt_seed_probe(const uint8_t* codes, int64_t L, int32_t k,
+                      const int64_t* span_starts, int64_t n_spans,
+                      const uint64_t* keys_hi, const uint64_t* keys_lo,
+                      int64_t n_keys,
+                      const uint8_t* pf_tbl, int32_t pf_bits,
+                      int32_t stride, int32_t near_exact_skip,
+                      int32_t do_subs, int32_t do_indels,
+                      int64_t* out_pos, int64_t* out_row,
+                      uint8_t* out_fw, uint8_t* out_kind,
+                      int64_t cap, int32_t n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    bool two_word = keys_hi != nullptr;
+    std::vector<std::vector<Hit>> results((size_t)n_threads);
+    std::vector<uint8_t> exact_hit((size_t)std::max<int64_t>(L, 1), 0);
+
+    auto probe = [&](u128 v, u128 rv, int64_t p, uint8_t kind,
+                     std::vector<Hit>& out) {
+        bool fwle = v <= rv;
+        u128 q = fwle ? v : rv;
+        if (pf_tbl) {
+            uint64_t h = hash_key(q, two_word);
+            if (!pf_tbl[h >> (64 - pf_bits)]) return;
+        }
+        int64_t row = find_key(two_word ? keys_hi : nullptr, keys_lo,
+                               n_keys, q);
+        if (row >= 0) out.push_back({p, row, (uint8_t)(fwle ? 1 : 0), kind});
+    };
+
+    // phase 1: exact windows (all valid positions, no stride)
+    {
+        int64_t P = L - k + 1;
+        auto work = [&](int t, int64_t a, int64_t b) {
+            Roll w(k);
+            auto& out = results[(size_t)t];
+            for (int64_t i = a; i < b + k - 1 && i < L; ++i) {
+                w.push(codes[i]);
+                int64_t p = i - k + 1;
+                if (p < a || !w.full()) continue;
+                size_t before = out.size();
+                probe(w.fw, w.rc, p, 0, out);
+                if (out.size() != before) exact_hit[(size_t)p] = 1;
+            }
+        };
+        if (P > 0) {
+            if (n_threads == 1 || P < 4096) work(0, 0, P);
+            else {
+                std::vector<std::thread> ts;
+                int64_t step = (P + n_threads - 1) / n_threads;
+                for (int t = 0; t < n_threads; ++t) {
+                    int64_t a = t * step, b = std::min<int64_t>(P, a + step);
+                    if (a >= b) break;
+                    ts.emplace_back(work, t, a, b);
+                }
+                for (auto& t : ts) t.join();
+            }
+        }
+    }
+
+    // skip mask: positions within +-near_exact_skip of a confirmed exact hit
+    std::vector<uint8_t> skip;
+    if (near_exact_skip > 0) {
+        skip.assign((size_t)L, 0);
+        std::vector<int32_t> diff((size_t)L + 1, 0);
+        bool any = false;
+        for (int64_t p = 0; p < L; ++p) {
+            if (!exact_hit[(size_t)p]) continue;
+            any = true;
+            int64_t a = p - near_exact_skip, b = p + near_exact_skip + 1;
+            if (a < 0) a = 0;
+            if (b > L) b = L;
+            diff[(size_t)a] += 1;
+            diff[(size_t)b] -= 1;
+        }
+        if (any) {
+            int32_t acc = 0;
+            for (int64_t p = 0; p < L; ++p) {
+                acc += diff[(size_t)p];
+                skip[(size_t)p] = acc > 0;
+            }
+        } else {
+            skip.clear();
+        }
+    }
+
+    // phase 2: 1-edit variants (stride + skip mask apply to window starts)
+    if (do_subs || do_indels) {
+        auto work = [&](int t, int64_t a, int64_t b) {
+            auto& out = results[(size_t)t];
+            Roll wk(k), wd(k + 1), wi(k - 1);
+            // span pointer for stride alignment
+            int64_t si = 0;
+            auto span_of = [&](int64_t p) -> int64_t {
+                while (si + 1 < n_spans && span_starts[si + 1] <= p) ++si;
+                while (si > 0 && span_starts[si] > p) --si;
+                return span_starts[si];
+            };
+            auto allowed = [&](int64_t p) -> bool {
+                if (!skip.empty() && skip[(size_t)p]) return false;
+                if (stride > 1 && (p - span_of(p)) % stride != 0) return false;
+                return true;
+            };
+            for (int64_t i = a; i < b + k && i < L; ++i) {
+                uint8_t c = codes[i];
+                wk.push(c); wd.push(c); wi.push(c);
+                if (do_subs && wk.full()) {
+                    int64_t p = i - k + 1;
+                    int m = k;
+                    if (p >= a && p < b && allowed(p)) {
+                        for (int q = 0; q < m; ++q) {
+                            int orig = get_base(wk.fw, m, q);
+                            for (int bb = 0; bb < 4; ++bb) {
+                                if (bb == orig) continue;
+                                probe(set_base(wk.fw, m, q, bb),
+                                      set_base(wk.rc, m, m - 1 - q, 3 - bb),
+                                      p, 1, out);
+                            }
+                        }
+                    }
+                }
+                if (do_indels && wd.full()) {
+                    int64_t p = i - k;                    // (k+1)-window start
+                    int m = k + 1;
+                    if (p >= a && p < b && allowed(p)) {
+                        for (int q = 1; q < k; ++q)
+                            probe(drop_base(wd.fw, m, q),
+                                  drop_base(wd.rc, m, m - 1 - q), p, 2, out);
+                    }
+                }
+                if (do_indels && k >= 2 && wi.full()) {
+                    int64_t p = i - k + 2;                // (k-1)-window start
+                    int m = k - 1;
+                    if (p >= a && p < b && allowed(p)) {
+                        for (int q = 1; q < k; ++q)
+                            for (int bb = 0; bb < 4; ++bb)
+                                probe(insert_base(wi.fw, m, q, bb),
+                                      insert_base(wi.rc, m, m - q, 3 - bb),
+                                      p, 3, out);
+                    }
+                }
+            }
+        };
+        int64_t P = L;
+        if (n_threads == 1 || P < 4096) work(0, 0, P);
+        else {
+            std::vector<std::thread> ts;
+            int64_t step = (P + n_threads - 1) / n_threads;
+            for (int t = 0; t < n_threads; ++t) {
+                int64_t a = t * step, b = std::min<int64_t>(P, a + step);
+                if (a >= b) break;
+                ts.emplace_back(work, t, a, b);
+            }
+            for (auto& t : ts) t.join();
+        }
+    }
+
+    int64_t total = 0;
+    for (auto& r : results) total += (int64_t)r.size();
+    if (total > cap) return -total;
+    int64_t off = 0;
+    for (auto& r : results) {
+        for (auto& h : r) {
+            out_pos[off] = h.pos;
+            out_row[off] = h.row;
+            out_fw[off] = h.fw;
+            out_kind[off] = h.kind;
+            ++off;
+        }
+    }
+    return total;
+}
+
+}  // extern "C"

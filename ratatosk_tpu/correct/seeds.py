@@ -53,17 +53,32 @@ def find_runs(cdbg: Cdbg, codes: np.ndarray, probe=None) -> List[SolidRun]:
     """probe (optional): (canonical KeyArray, valid) -> (uid, pos, strand)
     int arrays with uid=-1 at misses — lets a sharded device index serve the
     lookups instead of the replicated host array."""
+    from ratatosk_tpu.ops import native_kmers as NK
     k = cdbg.k
     if codes.shape[-1] < k:
         return []
-    ka, valid = KeyArray.from_codes(codes, k)
-    can, is_fw = ka.canonical()
-    if probe is not None:
+    if probe is None and NK.available():
+        rows, is_fw = NK.lookup(np.asarray(codes, np.uint8), k,
+                                np.asarray(cdbg.index.keys_lo),
+                                np.asarray(cdbg.index.keys_hi)
+                                if cdbg.index.two_word else None)
+        hit = rows >= 0
+        if not hit.any():
+            return []
+        safe = np.maximum(rows, 0)
+        uid = np.where(hit, np.asarray(cdbg.index.unitig_id)[safe], -1)
+        pos = np.where(hit, np.asarray(cdbg.index.pos)[safe], 0)
+        strand = np.asarray(cdbg.index.strand)[safe]
+    elif probe is not None:
+        ka, valid = KeyArray.from_codes(codes, k)
+        can, is_fw = ka.canonical()
         uid, pos, strand = probe(can, valid)
         hit = uid >= 0
         if not hit.any():
             return []
     else:
+        ka, valid = KeyArray.from_codes(codes, k)
+        can, is_fw = ka.canonical()
         keys = KeyArray(k, np.asarray(cdbg.index.keys_lo),
                         np.asarray(cdbg.index.keys_hi) if cdbg.index.two_word else None)
         rows = keys.find(can)
@@ -348,70 +363,88 @@ def find_weak_seeds_batch(cdbg: Cdbg, reads, spans, *, subs: bool = True,
     starts_arr = np.asarray(starts, np.int64)
 
     prefilter = _probe_prefilter(cdbg.index)
-    index_keys = KeyArray(k, np.asarray(cdbg.index.keys_lo),
-                          np.asarray(cdbg.index.keys_hi)
-                          if cdbg.index.two_word else None)
-    # exact windows first (1 key/position), VERIFIED against the index;
-    # variant probing then skips positions close to a confirmed exact hit —
-    # a waypoint only needs to exist every weak_seed_min_space bases, so
-    # 1-edit probing near certain anchors is wasted work (and in clean spans
-    # it vanishes entirely)
-    ch0, cl0, fw0, wp0 = _canonical_variants(concat, k, "exact", starts_arr,
-                                             prefilter=prefilter)
-    pos_mask = None
-    if wp0.size:
-        rows0 = index_keys.find(KeyArray(k, cl0, ch0 if k > 32 else None))
-        hit0 = rows0 >= 0
-        ch0, cl0, fw0, wp0 = ch0[hit0], cl0[hit0], fw0[hit0], wp0[hit0]
-    if wp0.size and near_exact_skip > 0:
-        pos_mask = np.ones(len(concat), bool)
-        for d in range(-near_exact_skip, near_exact_skip + 1):
-            idx = np.clip(wp0 + d, 0, len(concat) - 1)
-            pos_mask[idx] = False
-    kinds = []
-    if subs:
-        kinds.append(("sub", k))
-    if indels and k <= 63:
-        kinds.append(("del", k + 1))
-        kinds.append(("ins", k - 1))
-    chs, cls, fws, poss, rsps, exs = [ch0], [cl0], [fw0], [wp0], \
-        [np.full(len(wp0), k, np.int32)], [np.ones(len(wp0), bool)]
-    for kind, rspan in kinds:
-        ch, cl, fw, wp = _canonical_variants(concat, k, kind, starts_arr,
-                                             stride=stride,
-                                             prefilter=prefilter,
-                                             pos_mask=pos_mask)
-        chs.append(ch)
-        cls.append(cl)
-        fws.append(fw)
-        poss.append(wp)
-        rsps.append(np.full(len(wp), rspan, np.int32))
-        exs.append(np.full(len(wp), False, bool))
-    if not chs:
-        return out
-    cl_cat = np.concatenate(cls)
-    ch_cat = np.concatenate(chs)
-    fw_cat = np.concatenate(fws)
-    pos_cat = np.concatenate(poss)
-    rsp_cat = np.concatenate(rsps)
-    ex_cat = np.concatenate(exs)
-    if cl_cat.size == 0:
-        return out
+    from ratatosk_tpu.ops import native_kmers as NK
+    if NK.available():
+        # native probe: rolling-window variant generation + prefilter +
+        # binary search in one multithreaded C++ pass (native/kmers.cpp)
+        tbl, bits = prefilter
+        gpos, r, fwh, kind_h = NK.seed_probe(
+            concat, k, starts_arr,
+            np.asarray(cdbg.index.keys_lo),
+            np.asarray(cdbg.index.keys_hi) if cdbg.index.two_word else None,
+            tbl.view(np.uint8), bits, stride=stride,
+            near_exact_skip=near_exact_skip, subs=subs,
+            indels=indels and k <= 63)
+        if gpos.size == 0:
+            return out
+        rsp = np.where(kind_h == 2, k + 1,
+                       np.where(kind_h == 3, k - 1, k)).astype(np.int32)
+        ex = kind_h == 0
+    else:
+        index_keys = KeyArray(k, np.asarray(cdbg.index.keys_lo),
+                              np.asarray(cdbg.index.keys_hi)
+                              if cdbg.index.two_word else None)
+        # exact windows first (1 key/position), VERIFIED against the index;
+        # variant probing then skips positions close to a confirmed exact
+        # hit — a waypoint only needs to exist every weak_seed_min_space
+        # bases, so 1-edit probing near certain anchors is wasted work (and
+        # in clean spans it vanishes entirely)
+        ch0, cl0, fw0, wp0 = _canonical_variants(concat, k, "exact",
+                                                 starts_arr,
+                                                 prefilter=prefilter)
+        pos_mask = None
+        if wp0.size:
+            rows0 = index_keys.find(KeyArray(k, cl0, ch0 if k > 32 else None))
+            hit0 = rows0 >= 0
+            ch0, cl0, fw0, wp0 = ch0[hit0], cl0[hit0], fw0[hit0], wp0[hit0]
+        if wp0.size and near_exact_skip > 0:
+            pos_mask = np.ones(len(concat), bool)
+            for d in range(-near_exact_skip, near_exact_skip + 1):
+                idx = np.clip(wp0 + d, 0, len(concat) - 1)
+                pos_mask[idx] = False
+        kinds = []
+        if subs:
+            kinds.append(("sub", k))
+        if indels and k <= 63:
+            kinds.append(("del", k + 1))
+            kinds.append(("ins", k - 1))
+        chs, cls, fws, poss, rsps, exs = [ch0], [cl0], [fw0], [wp0], \
+            [np.full(len(wp0), k, np.int32)], [np.ones(len(wp0), bool)]
+        for kind, rspan in kinds:
+            ch, cl, fw, wp = _canonical_variants(concat, k, kind, starts_arr,
+                                                 stride=stride,
+                                                 prefilter=prefilter,
+                                                 pos_mask=pos_mask)
+            chs.append(ch)
+            cls.append(cl)
+            fws.append(fw)
+            poss.append(wp)
+            rsps.append(np.full(len(wp), rspan, np.int32))
+            exs.append(np.full(len(wp), False, bool))
+        cl_cat = np.concatenate(cls)
+        ch_cat = np.concatenate(chs)
+        fw_cat = np.concatenate(fws)
+        pos_cat = np.concatenate(poss)
+        rsp_cat = np.concatenate(rsps)
+        ex_cat = np.concatenate(exs)
+        if cl_cat.size == 0:
+            return out
+        rows = index_keys.find(KeyArray(k, cl_cat, ch_cat if k > 32 else None))
+        hit = rows >= 0
+        if not hit.any():
+            return out
+        r = rows[hit]
+        fwh = fw_cat[hit]
+        gpos = pos_cat[hit]
+        rsp = rsp_cat[hit]
+        ex = ex_cat[hit]
 
-    rows = index_keys.find(KeyArray(k, cl_cat, ch_cat if k > 32 else None))
-    hit = rows >= 0
-    if not hit.any():
-        return out
-    r = rows[hit]
     uid = np.asarray(cdbg.index.unitig_id)[r].astype(np.int64)
-    direction = np.where(fw_cat[hit] == np.asarray(cdbg.index.strand)[r], 0, 1)
+    direction = np.where(fwh == np.asarray(cdbg.index.strand)[r], 0, 1)
     o = np.where(direction == 0, np.asarray(cdbg.index.pos)[r],
                  cdbg.nkmers[uid] - 1 - np.asarray(cdbg.index.pos)[r])
-    gpos = pos_cat[hit]
     si = np.searchsorted(starts_arr, gpos, side="right") - 1
     rpos = gpos - starts_arr[si]
-    rsp = rsp_cat[hit]
-    ex = ex_cat[hit]
 
     # dedupe identical placements, then resolve per position: an exact
     # placement outranks 1-edit variant placements (it is the stronger

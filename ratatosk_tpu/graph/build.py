@@ -29,22 +29,57 @@ from ratatosk_tpu.graph.keys import KeyArray
 from ratatosk_tpu.ops.kmer_index import KmerIndex
 
 
+def _canonical_all(codes: np.ndarray, k: int):
+    """Canonical keys of EVERY window of one code array (full length L-k+1).
+
+    Returns (lo, hi|None, valid, is_fw); invalid windows carry garbage keys.
+    Native rolling kernel when available, else the numpy pack.
+    """
+    from ratatosk_tpu.ops import native_kmers as NK
+    if NK.available():
+        hi, lo, valid, is_fw = NK.canonical(codes, k)
+        return lo, hi, valid, is_fw
+    ka, valid = KeyArray.from_codes(codes, k)
+    can, is_fw = ka.canonical()
+    return can.lo, can.hi, valid, is_fw
+
+
 def count_kmers(seqs: Iterable[np.ndarray], k: int, min_count: int = 2,
                 max_count: Optional[int] = None) -> tuple[KeyArray, np.ndarray]:
     """Count canonical k-mers over base-code arrays.
 
     Returns (sorted unique solid keys, counts). Reads shorter than k and
-    windows containing non-ACGT are skipped (Bifrost behavior).
+    windows containing non-ACGT are skipped (Bifrost behavior). Reads are
+    concatenated (separated by an invalid base) and packed in ~8 MB batches —
+    one vectorized/native pass per batch, not one per read.
     """
     chunks_lo, chunks_hi = [], []
+    parts: list = []
+    bp = 0
+    sep = np.array([4], np.uint8)
+
+    def flush():
+        nonlocal bp
+        if not parts:
+            return
+        concat = np.concatenate(parts)
+        parts.clear()
+        bp = 0
+        lo, hi, valid, _ = _canonical_all(concat, k)
+        sel = np.flatnonzero(valid)
+        chunks_lo.append(lo[sel])
+        if hi is not None:
+            chunks_hi.append(hi[sel])
+
     for codes in seqs:
         if codes.shape[-1] < k:
             continue
-        ka, valid = KeyArray.from_codes(codes, k)
-        can, _ = ka.take(np.flatnonzero(valid)).canonical()
-        chunks_lo.append(can.lo)
-        if can.hi is not None:
-            chunks_hi.append(can.hi)
+        parts.append(np.asarray(codes, np.uint8))
+        parts.append(sep)
+        bp += len(codes) + 1
+        if bp >= (1 << 23):
+            flush()
+    flush()
     if not chunks_lo:
         empty = KeyArray(k, np.zeros(0, np.uint64), np.zeros(0, np.uint64) if k > 32 else None)
         return empty, np.zeros(0, np.int64)
@@ -227,16 +262,16 @@ def catalog_kmer_positions(useq: np.ndarray, uoff: np.ndarray, k: int):
     if useq.shape[0] == 0 or uoff.shape[0] <= 1:
         empty = KeyArray(k, np.zeros(0, np.uint64), np.zeros(0, np.uint64) if k > 32 else None)
         return empty, np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, bool)
-    ka, _ = KeyArray.from_codes(useq, k)
-    npos = len(ka)
+    lo, hi, valid, is_fw = _canonical_all(useq, k)
+    npos = useq.shape[0] - k + 1
     # window starting at catalog position t belongs to unitig u iff
     # t + k <= uoff[u+1]; find u by searchsorted and keep in-bounds windows
     t = np.arange(npos, dtype=np.int64)
     u = np.searchsorted(uoff, t, side="right") - 1
-    ok = (t + k) <= uoff[u + 1]
+    ok = ((t + k) <= uoff[u + 1]) & valid
     sel = np.flatnonzero(ok)
-    can, is_fw = ka.take(sel).canonical()
-    return can, u[sel], t[sel] - uoff[u[sel]], is_fw
+    can = KeyArray(k, lo[sel], hi[sel] if hi is not None else None)
+    return can, u[sel], t[sel] - uoff[u[sel]], is_fw[sel]
 
 
 def build_cdbg(seqs: Iterable[np.ndarray], k: int, min_count: int = 2,

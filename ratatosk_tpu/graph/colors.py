@@ -83,20 +83,31 @@ def _probe_chunk(cdbg: Cdbg, keys: KeyArray, chunk_reads, chunk_rids,
         off += len(codes) + 1
     concat = np.concatenate(parts)
     starts_arr = np.asarray(starts, np.int64)
-    ka, valid = KeyArray.from_codes(concat, k)
-    sel = np.flatnonzero(valid)
     first_uid = np.full(len(chunk_reads), -1, dtype=np.int64)
-    if sel.size == 0:
-        return np.zeros(0, np.int64), first_uid
-    can, _ = ka.take(sel).canonical()
-    rows = keys.find(can)
-    hit = rows >= 0
-    if not hit.any():
-        return np.zeros(0, np.int64), first_uid
+    from ratatosk_tpu.ops import native_kmers as NK
+    if NK.available():
+        rows_all, _ = NK.lookup(concat, k, keys.lo, keys.hi)
+        sel = np.flatnonzero(rows_all >= 0)
+        if sel.size == 0:
+            return np.zeros(0, np.int64), first_uid
+        rowh = rows_all[sel]
+        gpos = sel
+    else:
+        ka, valid = KeyArray.from_codes(concat, k)
+        sel = np.flatnonzero(valid)
+        if sel.size == 0:
+            return np.zeros(0, np.int64), first_uid
+        can, _ = ka.take(sel).canonical()
+        rows = keys.find(can)
+        hit = rows >= 0
+        if not hit.any():
+            return np.zeros(0, np.int64), first_uid
+        rowh = rows[hit]
+        gpos = sel[hit]
     iuid = np.asarray(cdbg.index.unitig_id)
-    uids = iuid[rows[hit]].astype(np.int64)
-    np.add.at(cov, uids, 1)
-    gpos = sel[hit]
+    uids = iuid[rowh].astype(np.int64)
+    # coverage via bincount (np.add.at is orders slower at this volume)
+    cov += np.bincount(uids, minlength=len(cov)).astype(cov.dtype)
     ridx = np.searchsorted(starts_arr, gpos, side="right") - 1
     # first hit per read = canonical unitig (anchoring phase pick,
     # Graph.cpp:1682-1691); gpos ascends, so ridx is non-decreasing and the

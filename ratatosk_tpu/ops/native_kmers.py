@@ -1,0 +1,159 @@
+"""ctypes bindings for the native k-mer kernels (native/kmers.cpp).
+
+Host-runtime companions to the numpy formulations in ops/kmers.py,
+graph/keys.py and correct/seeds.py: rolling canonical packing, sorted-index
+exact lookup, and the batched 1-edit seed probe. These are the host hot paths
+of planning and index construction (the roles Bifrost's KmerHashIterator and
+CompactedDBG::find/searchSequence play in the reference, SURVEY.md §2.3).
+Callers fall back to the numpy implementations when no toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libkmers.so")
+_lib = None
+_lib_failed = False
+
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+_U64P = ctypes.POINTER(ctypes.c_uint64)
+_I64P = ctypes.POINTER(ctypes.c_int64)
+
+
+def _n_threads() -> int:
+    return min(os.cpu_count() or 1, 16)
+
+
+def _load():
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    if os.environ.get("RATATOSK_NO_NATIVE"):
+        _lib_failed = True
+        return None
+    src = os.path.join(_NATIVE_DIR, "kmers.cpp")
+    try:
+        if (not os.path.exists(_LIB_PATH)
+                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)):
+            subprocess.run(
+                ["sh", os.path.join(_NATIVE_DIR, "build.sh"), "kmers"],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.rt_canonical.restype = None
+        lib.rt_canonical.argtypes = [
+            _U8P, ctypes.c_int64, ctypes.c_int32,
+            _U64P, _U64P, _U8P, _U8P, ctypes.c_int32]
+        lib.rt_lookup.restype = None
+        lib.rt_lookup.argtypes = [
+            _U8P, ctypes.c_int64, ctypes.c_int32,
+            _U64P, _U64P, ctypes.c_int64,
+            _I64P, _U8P, ctypes.c_int32]
+        lib.rt_seed_probe.restype = ctypes.c_int64
+        lib.rt_seed_probe.argtypes = [
+            _U8P, ctypes.c_int64, ctypes.c_int32,
+            _I64P, ctypes.c_int64,
+            _U64P, _U64P, ctypes.c_int64,
+            _U8P, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            _I64P, _I64P, _U8P, _U8P,
+            ctypes.c_int64, ctypes.c_int32]
+        _lib = lib
+    except (subprocess.CalledProcessError, OSError):
+        _lib_failed = True
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u64p(a: Optional[np.ndarray]):
+    if a is None:
+        return None
+    return a.ctypes.data_as(_U64P)
+
+
+def canonical(codes: np.ndarray, k: int
+              ) -> Tuple[Optional[np.ndarray], np.ndarray, np.ndarray,
+                         np.ndarray]:
+    """Canonical keys of every k-window. Returns (hi|None, lo, valid, is_fw)."""
+    lib = _load()
+    assert lib is not None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    P = max(len(codes) - k + 1, 0)
+    lo = np.zeros(P, dtype=np.uint64)
+    hi = np.zeros(P, dtype=np.uint64) if k > 32 else None
+    valid = np.zeros(P, dtype=np.uint8)
+    is_fw = np.zeros(P, dtype=np.uint8)
+    if P:
+        lib.rt_canonical(codes.ctypes.data_as(_U8P), len(codes), k,
+                         _u64p(hi), _u64p(lo),
+                         valid.ctypes.data_as(_U8P),
+                         is_fw.ctypes.data_as(_U8P), _n_threads())
+    return hi, lo, valid.astype(bool), is_fw.astype(bool)
+
+
+def lookup(codes: np.ndarray, k: int, keys_lo: np.ndarray,
+           keys_hi: Optional[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact index row of every k-window (-1 = miss). Returns (rows, is_fw)."""
+    lib = _load()
+    assert lib is not None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    keys_lo = np.ascontiguousarray(keys_lo, dtype=np.uint64)
+    if keys_hi is not None:
+        keys_hi = np.ascontiguousarray(keys_hi, dtype=np.uint64)
+    P = max(len(codes) - k + 1, 0)
+    rows = np.full(P, -1, dtype=np.int64)
+    is_fw = np.zeros(P, dtype=np.uint8)
+    if P and len(keys_lo):
+        lib.rt_lookup(codes.ctypes.data_as(_U8P), len(codes), k,
+                      _u64p(keys_hi), _u64p(keys_lo), len(keys_lo),
+                      rows.ctypes.data_as(_I64P),
+                      is_fw.ctypes.data_as(_U8P), _n_threads())
+    return rows, is_fw.astype(bool)
+
+
+def seed_probe(concat: np.ndarray, k: int, span_starts: np.ndarray,
+               keys_lo: np.ndarray, keys_hi: Optional[np.ndarray],
+               pf_tbl: Optional[np.ndarray], pf_bits: int,
+               *, stride: int = 1, near_exact_skip: int = 16,
+               subs: bool = True, indels: bool = True):
+    """1-edit probe of all spans. Returns (pos, row, is_fw, kind) arrays;
+    kind: 0 exact, 1 sub, 2 del (k+1 read window), 3 ins (k-1)."""
+    lib = _load()
+    assert lib is not None
+    concat = np.ascontiguousarray(concat, dtype=np.uint8)
+    span_starts = np.ascontiguousarray(span_starts, dtype=np.int64)
+    keys_lo = np.ascontiguousarray(keys_lo, dtype=np.uint64)
+    if keys_hi is not None:
+        keys_hi = np.ascontiguousarray(keys_hi, dtype=np.uint64)
+    pf = None
+    if pf_tbl is not None:
+        pf = np.ascontiguousarray(pf_tbl, dtype=np.uint8)
+    cap = max(len(concat) // 8, 1 << 14)
+    while True:
+        pos = np.zeros(cap, dtype=np.int64)
+        row = np.zeros(cap, dtype=np.int64)
+        fw = np.zeros(cap, dtype=np.uint8)
+        kind = np.zeros(cap, dtype=np.uint8)
+        n = lib.rt_seed_probe(
+            concat.ctypes.data_as(_U8P), len(concat), k,
+            span_starts.ctypes.data_as(_I64P), len(span_starts),
+            _u64p(keys_hi), _u64p(keys_lo), len(keys_lo),
+            pf.ctypes.data_as(_U8P) if pf is not None else None,
+            pf_bits, stride, near_exact_skip,
+            1 if subs else 0, 1 if indels else 0,
+            pos.ctypes.data_as(_I64P), row.ctypes.data_as(_I64P),
+            fw.ctypes.data_as(_U8P), kind.ctypes.data_as(_U8P),
+            cap, _n_threads())
+        if n >= 0:
+            return (pos[:n], row[:n], fw[:n].astype(bool), kind[:n])
+        cap = int(-n) + 1024
