@@ -65,6 +65,10 @@ class RegionBatch(NamedTuple):
                              # WeightsPairID score, Correction.cpp:417-427)
     max_plen: jnp.ndarray    # int32 [R] path length budget (+-25% window,
                              # getMinMaxLength, Common.hpp:435-438)
+    tgt_qual: jnp.ndarray    # int32 [R, NT] clipped linear quality (q-33) of
+                             # the raw region, 0 when absent. Unused by the
+                             # beam itself; consumed by the chained device
+                             # finish kernel (correct/finish.py)
 
 
 class BeamState(NamedTuple):

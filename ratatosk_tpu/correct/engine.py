@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ratatosk_tpu import dna
 from ratatosk_tpu.config import CorrectOpt
 from ratatosk_tpu.correct import beam as BM
+from ratatosk_tpu.correct import finish as FN
 from ratatosk_tpu.correct.graphdev import DeviceGraph
 from ratatosk_tpu.correct.seeds import (SolidRun, filter_runs_by_color,
                                         find_runs, find_weak_seeds_batch,
@@ -56,6 +57,7 @@ def make_region_batch(specs: List["RegionSpec"], nt: int, color_cap: int, *,
     R = len(specs)
     Rp = r_pad or R
     tgt_masks = np.zeros((Rp, nt), dtype=np.uint8)
+    tgt_qual = np.zeros((Rp, nt), dtype=np.int32)
     tgt_len = np.ones(Rp, dtype=np.int32)
     start_tip = np.zeros(Rp, dtype=np.int32)
     start_off = np.zeros(Rp, dtype=np.int32)
@@ -72,6 +74,9 @@ def make_region_batch(specs: List["RegionSpec"], nt: int, color_cap: int, *,
             tgt, stip, soff = sp.tgt, sp.start_tip, sp.start_off
             etip, eoff = sp.end_tip, sp.end_off
         tgt_masks[i, :len(tgt)] = dna.codes_to_masks(tgt)
+        if not mirrored and sp.tgt_qual is not None:
+            tgt_qual[i, :len(sp.tgt_qual)] = np.maximum(
+                sp.tgt_qual.astype(np.int32) - 33, 0)
         tgt_len[i] = len(tgt)
         start_tip[i], start_off[i] = stip, soff
         end_tip[i], end_off[i] = etip, eoff
@@ -90,7 +95,7 @@ def make_region_batch(specs: List["RegionSpec"], nt: int, color_cap: int, *,
         end_tip=jnp.asarray(end_tip), end_off=jnp.asarray(end_off),
         colors_sig=jnp.asarray(CS.color_signature(colors)),
         colors_wsig=jnp.asarray(CS.color_signature(colors, weights=weights)),
-        max_plen=jnp.asarray(max_plen))
+        max_plen=jnp.asarray(max_plen), tgt_qual=jnp.asarray(tgt_qual))
     return rb, lmax
 
 
@@ -629,9 +634,17 @@ class Corrector:
         # band must absorb the path-vs-read indel drift, which grows with
         # region length (~2-3% of NT at ONT error rates) — scale it
         band = 0 if nt <= 256 else max(self.opt.band_width, nt // 16)
-        return BM.beam_search(self.g, rb, beam=beam or self.opt.beam_width,
-                              lmax=lmax, min_cov=self.opt.min_cov_vertices,
-                              band=band)
+        res = BM.beam_search(self.g, rb, beam=beam or self.opt.beam_width,
+                             lmax=lmax, min_cov=self.opt.min_cov_vertices,
+                             band=band)
+        # chain ALL per-region finish math on device (correct/finish.py):
+        # the tunnel costs ~25ms per transfer/dispatch, so the whole launch
+        # ships back as exactly two arrays (decision scalars + packed paths)
+        fin = FN.finish_bundle(
+            rb.tgt_masks, rb.tgt_len, rb.tgt_qual, jnp.int32(self.qv_max),
+            res, w=band, min_k=self.cdbg.k,
+            min_score_open=self.opt.min_score_open_region)
+        return fin, lmax
 
     def _execute_regions(self, regions: List[RegionSpec]):
         # forward pass, bucketed by target length; all bucket batches are
@@ -661,19 +674,23 @@ class Corrector:
                 items.sort(key=lambda i: len(regions[i].tgt))
                 for c0 in range(0, len(items), chunk):
                     idxs = items[c0:c0 + chunk]
-                    res = self._launch_bucket([regions[i] for i in idxs], nt,
-                                              mirrored, beam=beam)
-                    launched.append((idxs, mirrored, rnd, res))
+                    fin, lmax = self._launch_bucket(
+                        [regions[i] for i in idxs], nt, mirrored, beam=beam)
+                    launched.append((idxs, mirrored, rnd, fin, lmax))
             self.timers["launch"] += _time.time() - t0
             retry = []
             t0 = _time.time()
-            for idxs, mirrored, rnd, res in launched:
-                resnp = {f: np.asarray(getattr(res, f))[:len(idxs)]
-                         for f in res._fields}
+            for idxs, mirrored, rnd, fin, lmax in launched:
+                # fetch the full padded arrays (device-side slicing would cost
+                # an extra dispatch on the high-latency tunnel), slice on host
+                scal = np.asarray(fin.scalars)[:len(idxs)]
+                seqs = FN.unpack_codes(np.asarray(fin.seq_packed)[:len(idxs)],
+                                       lmax)
                 for j, i in enumerate(idxs):
                     sp = regions[i]
                     final = mirrored and rnd >= rounds
-                    ok = self._finish_region(sp, resnp, j, mirrored, final)
+                    ok = self._finish_region(sp, scal[j], seqs[j], mirrored,
+                                             final)
                     if ok or sp.kind != "gap" or not sp.mirror:
                         continue
                     if not mirrored:
@@ -683,14 +700,14 @@ class Corrector:
             self.timers["finish"] += _time.time() - t0
             pending = retry
 
-    def _finish_region(self, sp: RegionSpec, res, j: int, mirrored: bool,
+    def _finish_region(self, sp: RegionSpec, scal: np.ndarray,
+                       seq_full: np.ndarray, mirrored: bool,
                        final: bool = True) -> bool:
         k = self.cdbg.k
         n = len(sp.tgt)
-        blen = int(res["best_len"][j])
-        seq = np.asarray(res["best_seq"][j][:blen], dtype=np.uint8)
-        d1 = int(res["best_dist"][j])
-        d2 = int(res["second_dist"][j])
+        (blen, d1, end, d2, completed, istar, jend_open, s1_open_m, ok_open,
+         pdist, pjend) = (int(x) for x in scal[:11])
+        seq = seq_full[:blen]
         s1 = 1.0 - d1 / max(n, 1)
         s2 = None if d2 >= (1 << 20) else 1.0 - d2 / max(n, 1)
         if sp.kind == "gap":
@@ -702,8 +719,8 @@ class Corrector:
                 q = sp.tgt_qual.astype(np.float32)
                 gate = max(gate, float(np.mean(np.clip(q - 33, 0, self.qv_max))
                                        / self.qv_max))
-            if not bool(res["completed"][j]) or blen == 0 or s1 < gate:
-                self._record_partial(sp, seq, res, j, mirrored)
+            if not completed or blen == 0 or s1 < gate:
+                self._record_partial(sp, seq, end, pdist, pjend, mirrored)
                 if mirrored and final:
                     return self._merge_partials(sp)
                 return False
@@ -726,21 +743,23 @@ class Corrector:
             sp.ok = True
             sp.iupac = self._region_iupac(sp, s1)
             return True
-        return self._finish_open(sp, res, j, seq, blen, d1, s2)
+        return self._finish_open(sp, seq, istar, jend_open, s1_open_m,
+                                 ok_open, s2)
 
-    def _record_partial(self, sp: RegionSpec, seq: np.ndarray, res, j: int,
-                        mirrored: bool) -> None:
-        """Trim a non-completed path to its covered target prefix and stash it."""
-        end = int(res["best_end"][j])
+    def _record_partial(self, sp: RegionSpec, seq: np.ndarray, end: int,
+                        pdist: int, pjend: int, mirrored: bool) -> None:
+        """Trim a non-completed path to its covered target prefix and stash it.
+
+        The SHW trim (dist of tgt[:end] vs the path, max-tie cut column) was
+        computed on device by the finish bundle: dist = dmin[end],
+        cut = endcol[end] (correct/finish.py)."""
         blen = len(seq)
         if blen == 0 or end <= 0:
             return
-        tgt = sp.mirror_tgt if mirrored else sp.tgt
-        tdist, _, jend, _ = CG.aln_stats(dna.codes_to_masks(tgt[:end]),
-                                         dna.codes_to_masks(seq), CG.SHW)
+        jend = pjend
         if jend <= 0:
             return
-        s = 1.0 - tdist / max(end, 1)
+        s = 1.0 - pdist / max(end, 1)
         if s < 0.25:
             return
         part = (seq[:jend].copy(), end, s)
@@ -798,9 +817,8 @@ class Corrector:
         sp.ok = True
         return True
 
-    def _finish_open(self, sp: RegionSpec, res, j: int, seq: np.ndarray,
-                     blen: int, d1: int, s2) -> bool:
-        n = len(sp.tgt)
+    def _finish_open(self, sp: RegionSpec, seq: np.ndarray, istar: int,
+                     jend: int, s1_open_m: int, ok_open: int, s2) -> bool:
         # open regions (head/tail): an open region has no right anchor to
         # certify the path, so a free-running beam can return a walk that
         # starts right and then diverges (e.g. through a repeat). Accept only
@@ -808,47 +826,12 @@ class Corrector:
         # (matched bases - 2*edits) over prefixes, the X-drop-style analog of
         # the reference's waypoint-by-waypoint extension + SHW overshoot trim
         # (extractSemiWeakPaths Correction.cpp:3-157; trim 727-747). The
-        # uncovered suffix keeps its raw bases.
-        if blen == 0:
+        # uncovered suffix keeps its raw bases. The prefix DP, the
+        # quality-aware gates and the max-tie path cut all ran on device
+        # (finish_bundle, correct/finish.py) — here we only apply them.
+        if not ok_open:
             return False
-        E = CG.dp_matrix(dna.codes_to_masks(sp.tgt),
-                         dna.codes_to_masks(seq), CG.NW)
-        dmin = E.min(axis=1)                       # [n+1] per-prefix distance
-
-        def gate_for(i: int) -> float:
-            # at least the config floor, and at least the certified identity
-            # of the bases being replaced (linear-scale quality, getQual
-            # convention) — a walk must not disagree with the raw span more
-            # than the span's own claimed error rate
-            g = self.opt.min_score_open_region
-            if sp.tgt_qual is not None and i > 0:
-                q = sp.tgt_qual[:i].astype(np.float32)
-                g = max(g, float(np.mean(np.clip(q - 33, 0, self.qv_max))
-                                 / self.qv_max))
-            return g
-
-        # full-target acceptance first (the reference's SHW trim,
-        # Correction.cpp:727-747) ...
-        istar = n
-        s1 = 1.0 - dmin[n] / max(n, 1)
-        if s1 < gate_for(n):
-            # ... else accept only the longest well-aligned prefix —
-            # maximize (matched bases - 2*edits), the X-drop-style analog of
-            # waypoint-by-waypoint extension (Correction.cpp:3-157). The
-            # uncovered suffix keeps its raw bases.
-            prefix_score = np.arange(n + 1) - 2.0 * dmin
-            istar = int(prefix_score.argmax())
-            if istar < self.cdbg.k:
-                return False
-            s1 = 1.0 - dmin[istar] / max(istar, 1)
-            if s1 < gate_for(istar):
-                return False
-        dstar = int(dmin[istar])
-        # path cut: max tie column (the reference takes the max end location,
-        # Correction.cpp:733-740)
-        jend = int(np.flatnonzero(E[istar] == dstar).max())
-        if jend <= 0:
-            return False
+        s1 = s1_open_m / 1e6
         seq = seq[:jend]
         sp.covered = istar
         qual = self._region_quality(seq, sp.tgt[:istar], s1, s2)

@@ -59,12 +59,19 @@ def part_path(prefix: str, process_id: int) -> str:
     return f"{prefix}.part{process_id}.fastq"
 
 
-def merge_parts(prefix: str, num_processes: int, final_path: str) -> None:
+def merge_parts(prefix: str, num_processes: int, final_path: str,
+                parts: Optional[List[str]] = None) -> None:
     """Host-0 gather: concatenate per-host outputs in process order
-    (the reference's `cat` merge, Ratatosk.nf:232-248)."""
-    with open(final_path, "wb") as out:
-        for pid in range(num_processes):
-            p = part_path(prefix, pid)
+    (the reference's `cat` merge, Ratatosk.nf:232-248). A `.gz` final path
+    compresses while merging (-G)."""
+    paths = parts or [part_path(prefix, pid) for pid in range(num_processes)]
+    if final_path.endswith(".gz"):
+        import gzip
+        out = gzip.open(final_path, "wb")
+    else:
+        out = open(final_path, "wb")
+    with out:
+        for p in paths:
             with open(p, "rb") as f:
                 while True:
                     buf = f.read(1 << 20)
@@ -90,40 +97,131 @@ def allreduce_stats(stats: dict) -> dict:
     return {k: int(v) for k, v in zip(keys, summed)}
 
 
+def barrier() -> None:
+    """Cross-host sync point (collective allgather over the global mesh)."""
+    allreduce_stats({"sync": 1})
+
+
+def _write_shard(recs, a: int, b: int, path: str) -> None:
+    with open(path, "w") as f:
+        for r in recs[a:b]:
+            qual = (r.qual.tobytes().decode("ascii") if r.qual is not None
+                    else "!" * len(r.codes))
+            f.write(f"@{r.name}\n{r.seq}\n+\n{qual}\n")
+
+
 def run_distributed_correct(opt, coordinator=None, num_processes=None,
                             process_id=None) -> None:
-    """Per-host slice of the two-pass pipeline (pass 1 shown; the driver in
-    pipeline.run_correct handles the pass logic — here we shard its inputs)."""
+    """Full two-pass pipeline across hosts, bit-identical to single-host.
+
+    Matches the Nextflow contract (Ratatosk_nf/Ratatosk.nf):
+    - each index is built ONCE (host 0) and persisted as the `.npz` artifact;
+      other hosts load it from the shared filesystem (Ratatosk.nf:106-137
+      builds the index once and ships it to every correction job);
+    - pass 1 corrects per-host shards, then host 0 concatenates ONE global
+      `<out>.2.fastq` in input order (Ratatosk.nf:139-164);
+    - the pass-2 graph is colored by ALL hosts' pass-1 output
+      (Ratatosk.nf:166-192), so results match the single-host run exactly;
+    - pass 2 corrects shards of the global pass-1 output; host 0 concatenates
+      the final FASTQ (Ratatosk.nf:232-248).
+    Sync points ride jax.distributed collectives instead of a workflow engine.
+    """
+    import dataclasses as _dc
+
     from ratatosk_tpu import pipeline
+    from ratatosk_tpu.correct.engine import Corrector
+    from ratatosk_tpu.graph import io as GIO
     from ratatosk_tpu.io import fastx
 
     pid, n = init_distributed(coordinator, num_processes, process_id)
     if n == 1:
         pipeline.run_correct(opt)
         return
-    # index every record once (host-side scan), then correct our shard
-    recs = list(fastx.read_many(pipeline._expand_file_lists(opt.filename_long_in)))
-    a, b = shard_records(len(recs), pid, n)
-    import dataclasses
-    import tempfile
-    shard_file = tempfile.NamedTemporaryFile(
-        mode="w", suffix=".fastq", delete=False)
-    with shard_file as f:
-        for r in recs[a:b]:
-            qual = ("".join(chr(c) for c in r.qual) if r.qual is not None
-                    else "I" * len(r.codes))
-            f.write(f"@{r.name}\n{r.seq}\n+\n{qual}\n")
-    sopt = dataclasses.replace(
-        opt, filename_long_in=[shard_file.name],
-        prefix_filename_out=f"{opt.prefix_filename_out}.part{pid}.tmp")
-    pipeline.run_correct(sopt)
-    os.replace(f"{sopt.prefix_filename_out}.fastq",
-               part_path(opt.prefix_filename_out, pid))
-    os.remove(shard_file.name)
-    if pid == 0:
-        # barrier via collective, then gather
-        allreduce_stats({"done": 1})
-        merge_parts(opt.prefix_filename_out, n,
-                    f"{opt.prefix_filename_out}.fastq")
+    opt.validate()
+    prefix = opt.prefix_filename_out
+    final_out = f"{prefix}.fastq" + (".gz" if opt.gzip_out else "")
+
+    def load_shorts():
+        shorts, ids, names = pipeline.load_short_reads(opt)
+        pipeline.rescue_unmapped(opt, shorts, ids, names)
+        return shorts, ids, names
+
+    shorts = ids = names = None
+    hap = None
+    if opt.filename_phase_short or opt.filename_phase_long:
+        # phasing needs the short-read name->color binding on every host
+        # (each reference correction job reloads the phasing TSVs too)
+        shorts, ids, names = load_shorts()
+        hap = pipeline.load_hap(opt, ids, names)
+
+    if not opt.pass2_only:
+        # ---- pass-1 index: built once, loaded elsewhere ----
+        idx1 = opt.filename_graph_in or GIO.index_path(prefix, opt.small_k)
+        if not opt.filename_graph_in and pid == 0:
+            if shorts is None:
+                shorts, ids, names = load_shorts()
+            cdbg, colors = pipeline.build_pass1_index(opt, shorts, ids)
+            GIO.save_index(idx1, cdbg, colors)
+        barrier()
+        if opt.filename_graph_in or pid != 0:
+            cdbg, colors = GIO.load_index(idx1)
+        o1 = pipeline._pass_opt(opt, 1)
+        corr = Corrector(cdbg, colors, o1, hap=hap,
+                         snps=pipeline._detect_snps(opt, cdbg, colors))
+        recs = list(fastx.read_many(
+            pipeline._expand_file_lists(opt.filename_long_in)))
+        a, b = shard_records(len(recs), pid, n)
+        shard1 = f"{prefix}.shard{pid}.p1.fastq"
+        _write_shard(recs, a, b, shard1)
+        del recs
+        part1 = f"{prefix}.p1part{pid}.fastq"
+        pipeline.correct_file(corr, o1, [shard1], part1, 1,
+                              trim_qual=opt.trim_qual if opt.pass1_only else 0)
+        os.remove(shard1)
+        del corr, cdbg, colors
+        barrier()
+        pass1_global = final_out if opt.pass1_only else f"{prefix}.2.fastq"
+        if pid == 0:
+            merge_parts(prefix, n, pass1_global,
+                        parts=[f"{prefix}.p1part{q}.fastq" for q in range(n)])
+        barrier()
+        if opt.pass1_only:
+            return
+        pass2_in = [pass1_global]
     else:
-        allreduce_stats({"done": 1})
+        pass2_in = list(opt.filename_long_in)
+
+    # ---- pass-2 index from the GLOBAL pass-1 output ----
+    use_prebuilt2 = bool(opt.pass2_only and opt.filename_graph_in)
+    idx2 = opt.filename_graph_in if use_prebuilt2 \
+        else GIO.index_path(prefix, opt.k)
+    if not use_prebuilt2 and pid == 0:
+        if shorts is None:
+            shorts, ids, names = load_shorts()
+        corrected = ((rec.codes, rec.qual) for rec in fastx.read_many(
+            pipeline._expand_file_lists(pass2_in)))
+        cdbg2, colors2 = pipeline.build_pass2_index(opt, corrected, shorts, ids)
+        GIO.save_index(idx2, cdbg2, colors2)
+    barrier()
+    if use_prebuilt2 or pid != 0:
+        cdbg2, colors2 = GIO.load_index(idx2)
+    o2 = pipeline._pass_opt(opt, 2)
+    corr2 = Corrector(cdbg2, colors2, o2, hap=hap,
+                      snps=pipeline._detect_snps(opt, cdbg2, colors2))
+    raw_reads = None
+    if opt.filenames_long_raw:
+        raw_reads = {rec.name: rec.codes for rec in fastx.read_many(
+            pipeline._expand_file_lists(opt.filenames_long_raw))}
+    recs2 = list(fastx.read_many(pipeline._expand_file_lists(pass2_in)))
+    a, b = shard_records(len(recs2), pid, n)
+    shard2 = f"{prefix}.shard{pid}.p2.fastq"
+    _write_shard(recs2, a, b, shard2)
+    del recs2
+    part2 = part_path(prefix, pid)
+    pipeline.correct_file(corr2, o2, [shard2], part2, 2,
+                          trim_qual=opt.trim_qual, raw_reads=raw_reads)
+    os.remove(shard2)
+    barrier()
+    if pid == 0:
+        merge_parts(prefix, n, final_out)
+    barrier()
