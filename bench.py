@@ -6,6 +6,12 @@ clock covers both correction passes (pass 1 at k=31, pass 2 at k=63 on the
 pass-1 output). Index construction is untimed — it is the separate `index`
 step of the reference's 4-step contract (Ratatosk.cpp:1137-1144).
 
+Default config is a multi-Mbp workload (4 Mbp genome with heavy repeat
+content -> >=10^4 unitigs; 20 Mbp of 10%-error long reads), so host-side
+costs that grow with graph size are inside the measurement. `python bench.py
+small` runs the historical 100 kb toy for comparison with earlier rounds;
+`python bench.py <genome_bp> <n_reads>` picks custom sizes.
+
 Prints ONE JSON line to stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
@@ -20,7 +26,9 @@ per-node budget.
 from __future__ import annotations
 
 import json
+import os
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -34,23 +42,33 @@ def log(msg: str) -> None:
 
 def main() -> None:
     t_all = time.time()
-    from ratatosk_tpu import testing
+    from ratatosk_tpu import dna, testing
     from ratatosk_tpu.config import CorrectOpt
     from ratatosk_tpu.correct.engine import Corrector
     from ratatosk_tpu.graph import build as B
     from ratatosk_tpu.graph.colors import color_graph
-    from ratatosk_tpu.pipeline import build_pass2_index, _pass_opt
+    from ratatosk_tpu.io import fastx
+    from ratatosk_tpu.pipeline import build_pass2_index, correct_file, _pass_opt
 
-    rng = np.random.default_rng(1234)
-    # 64 reads x 4kb over 100kb ~= 2.6x long-read coverage: enough that
-    # pass-2 coloring (pass-1 output colors the k63 graph) has >= 2 reads
-    # per locus, and that beam batches run full
-    glen = int(float(sys.argv[1])) if len(sys.argv) > 1 else 100_000
-    n_reads = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    if len(sys.argv) > 1 and sys.argv[1] == "small":
+        glen, n_reads = 100_000, 64
+        repeat_frac, repeat_len = 0.1, 300
+    elif len(sys.argv) > 1:
+        glen = int(float(sys.argv[1]))
+        n_reads = int(sys.argv[2]) if len(sys.argv) > 2 else max(glen // 800, 8)
+        repeat_frac, repeat_len = 0.15, 250
+    else:
+        # default: multi-Mbp config — >=10^4 unitigs, 20 Mbp of long reads
+        glen, n_reads = 4_000_000, 5000
+        repeat_frac, repeat_len = 0.15, 250
     read_len = 4000
 
-    log(f"simulating genome={glen}bp, {n_reads} long reads x {read_len}bp")
-    genome = testing.random_genome(rng, glen, repeat_frac=0.1, repeat_len=300)
+    rng = np.random.default_rng(1234)
+    log(f"simulating genome={glen}bp (repeats {repeat_frac:.0%} x "
+        f"{repeat_len}bp), {n_reads} long reads x {read_len}bp, "
+        f"40x short reads")
+    genome = testing.random_genome(rng, glen, repeat_frac=repeat_frac,
+                                   repeat_len=repeat_len)
     sreads = testing.short_reads(rng, genome, coverage=40.0)
 
     log("building pass-1 colored cDBG k=31 (host, untimed index step)")
@@ -60,52 +78,50 @@ def main() -> None:
     log(f"pass-1 graph: {cdbg.n_unitigs} unitigs, {cdbg.index.n} k-mers "
         f"({time.time() - t0:.1f}s)")
 
-    import os
-    import tempfile
-    from ratatosk_tpu import dna
-    from ratatosk_tpu.io import fastx
-    from ratatosk_tpu.pipeline import correct_file
-
     # nb_threads=2 double-buffers host planning against device execution;
-    # small batches keep the pipeline full (the production correct_file path)
+    # ~1MB read batches keep full-width region batches on the device
     opt = CorrectOpt(small_k=31, k=63, beam_width=16, batch_regions=512,
-                     nb_threads=2, read_batch_bp=64 << 10)
+                     nb_threads=2, read_batch_bp=1 << 20)
     o1 = _pass_opt(opt, 1)
     corr1 = Corrector(cdbg, colors, o1)
 
     tmpdir = tempfile.mkdtemp(prefix="rtpu_bench_")
     lr_path = os.path.join(tmpdir, "long.fq")
-    reads = []
+    total_bases = 0
     with open(lr_path, "w") as f:
         for i in range(n_reads):
             start = int(rng.integers(0, glen - read_len))
             noisy, _ = testing.noisy_read(rng, genome, start, read_len,
                                           err=0.10)
-            reads.append(noisy)
+            total_bases += len(noisy)
             f.write(f"@L{i}\n{dna.decode(noisy)}\n+\n{'!' * len(noisy)}\n")
-    total_bases = sum(len(r) for r in reads)
 
-    # warm up on the full workload so every bucket shape is compiled (and
-    # lands in the persistent cache) before the timed pass
+    # warm up on a slice of the workload so every bucket shape is compiled
+    # (and lands in the persistent cache) before the timed pass
     log("pass-1 warmup (compiles bucket kernels)")
     t0 = time.time()
+    warm_path = os.path.join(tmpdir, "warm.fq")
+    with open(warm_path, "w") as f, open(lr_path) as src:
+        for _ in range(min(n_reads, 256) * 4):
+            f.write(src.readline())
     p1_path = os.path.join(tmpdir, "out.2.fastq")
-    correct_file(corr1, o1, [lr_path], p1_path, 1)
-    log(f"pass-1 warmup done ({time.time() - t0:.1f}s)")
+    correct_file(corr1, o1, [warm_path], p1_path, 1)
+    warm1 = time.time() - t0
+    log(f"pass-1 warmup done ({warm1:.1f}s)")
 
     corr1.timers = {k: 0.0 for k in corr1.timers}
     t0 = time.time()
     n1, bp1 = correct_file(corr1, o1, [lr_path], p1_path, 1)
     t_pass1 = time.time() - t0
-    log(f"pass-1: {total_bases} bases in {t_pass1:.2f}s; breakdown: "
+    log(f"pass-1: {total_bases} bases in {t_pass1:.2f}s "
+        f"({total_bases / t_pass1:.0f} b/s); breakdown: "
         + ", ".join(f"{k}={v:.2f}s" for k, v in corr1.timers.items()))
 
     log("building pass-2 cDBG k=63 colored by pass-1 output (untimed)")
     t0 = time.time()
-    res1 = list(fastx.read_fastx(p1_path))
     cdbg2, colors2 = build_pass2_index(
-        opt, ((r.codes, r.qual) for r in res1), sreads,
-        list(range(len(sreads))))
+        opt, ((r.codes, r.qual) for r in fastx.read_fastx(p1_path)),
+        sreads, list(range(len(sreads))))
     log(f"pass-2 graph: {cdbg2.n_unitigs} unitigs, {cdbg2.index.n} k-mers "
         f"({time.time() - t0:.1f}s)")
     o2 = _pass_opt(opt, 2)
@@ -114,8 +130,13 @@ def main() -> None:
 
     log("pass-2 warmup")
     t0 = time.time()
-    correct_file(corr2, o2, [p1_path], p2_path, 2)
-    log(f"pass-2 warmup done ({time.time() - t0:.1f}s)")
+    warm2_path = os.path.join(tmpdir, "warm2.fq")
+    with open(warm2_path, "w") as f, open(p1_path) as src:
+        for _ in range(min(n_reads, 256) * 4):
+            f.write(src.readline())
+    correct_file(corr2, o2, [warm2_path], p2_path, 2)
+    warm2 = time.time() - t0
+    log(f"pass-2 warmup done ({warm2:.1f}s)")
 
     corr2.timers = {k: 0.0 for k in corr2.timers}
     t0 = time.time()
@@ -125,10 +146,9 @@ def main() -> None:
         + ", ".join(f"{k}={v:.2f}s" for k, v in corr2.timers.items()))
 
     dt = t_pass1 + t_pass2
-    out_bases = bp2
     bps = total_bases / dt
     log(f"corrected {total_bases} bases through 2 passes in {dt:.2f}s -> "
-        f"{bps:.0f} bases/s (output {out_bases} bases); "
+        f"{bps:.0f} bases/s (output {bp2} bases); warmup {warm1 + warm2:.1f}s; "
         f"total wall {time.time() - t_all:.1f}s")
 
     print(json.dumps({

@@ -75,7 +75,13 @@ class BeamState(NamedTuple):
     tip: jnp.ndarray     # int32 [R, B]
     off: jnp.ndarray     # int32 [R, B]
     plen: jnp.ndarray    # int32 [R, B]
-    seq: jnp.ndarray     # uint8 [R, B, L]
+    # emitted bases are NOT materialized per entry: each step records
+    # (parent slot, base, emitted?) per surviving slot in a [LMAX, R, B]
+    # history, and only the winner's path is reconstructed after the loop —
+    # the O(R*B*L) sequence-copy matmul per step was the beam's dominant
+    # FLOP term for long buckets
+    hist: jnp.ndarray    # uint16 [LMAX, R, B]: bits0-1 base, bit2 emitted,
+                         # bits3+ parent slot index
     rwin: jnp.ndarray    # int32 [R, B, W] DP-row band at window ws(step)
     btgt: jnp.ndarray    # uint8 [R, W] target masks at window ws(step),
                          # carried incrementally: ws advances by <=1 per step,
@@ -153,14 +159,17 @@ def _band_dists_from_d(dmat, cols, tgt_len):
 def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
                min_cov: int):
     R, B = st.tip.shape
-    L = st.seq.shape[-1]
     W = st.rwin.shape[-1]
     nt1 = rb.tgt_masks.shape[-1] + 1
     k = g.k
 
     uid = jnp.maximum(st.tip >> 1, 0)
     d = st.tip & 1
-    ul = g.ulen[uid]
+    # one fused gather per step: successors (support pre-folded), ulen, uoff
+    rec = g.utbl[uid, d]                   # [R, B, 6]
+    e = rec[..., :4]                       # -1 = absent OR not read-supported
+    ul = rec[..., 4]
+    uo = rec[..., 5]
     active = st.live & ~st.frozen
     at_bound = active & (st.off >= ul)
     mid = active & (st.off < ul)
@@ -168,16 +177,14 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
     # mid-unitig next base (oriented)
     pos = jnp.where(d == 0, st.off, ul - 1 - st.off)
     pos = jnp.clip(pos, 0, jnp.maximum(ul - 1, 0))
-    nb = g.useq[g.uoff[uid] + pos.astype(g.uoff.dtype)].astype(jnp.int32)
+    nb = g.useq[uo + pos].astype(jnp.int32)
     nb = jnp.where(d == 0, nb, 3 - nb)
 
     # branch candidates: successors of (uid, leaving strand = direction).
     # The color filter runs AFTER selection on the B winners (optimistic
     # expansion): a bad-color branch survives one step and is killed next —
     # 4x less signature traffic than filtering all 4B candidates.
-    e = g.edges[uid, d]                    # [R, B, 4]
-    esup = g.edge_support[uid, d]          # [R, B, 4]
-    branch_ok = (e >= 0) & esup & at_bound[..., None]
+    branch_ok = (e >= 0) & at_bound[..., None]
 
     cidx = jnp.arange(4, dtype=jnp.int32)[None, None, :]
     # slot c: boundary -> successor with base c; mid -> only slot nb advances
@@ -340,23 +347,24 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
         new_ccsum + jnp.minimum(wshared, _CAPC).astype(jnp.float32) / _CAPC,
         new_ccsum)
 
-    # sequences: parent one-hot matmul, then write the emitted base (the
-    # candidate's slot index c&3) at column plen-1 via an iota mask
-    # Pp and seq_par stay at default (bf16) precision: operands are 0/1
-    # one-hots and 2-bit codes — exact in bf16 — and seq_par is the largest
-    # matmul of the step ([R,B,L]), so the fast path matters
+    # path history: record (base, emitted, parent slot) per winner — the
+    # winner's sequence is reconstructed once after the loop (backpointers),
+    # so no [R, B, L] sequence copy happens per step
     carange = jnp.arange(C, dtype=jnp.int32)
     mpar = (carange[:, None] >> 2 == jnp.arange(B, dtype=jnp.int32)[None, :]
             ).astype(jnp.float32)                            # [C, B] const
     Pp = jnp.einsum("rbc,cp->rbp", P, mpar,
                     preferred_element_type=jnp.float32)      # [R, B, B]
-    seq_par = jnp.einsum("rbp,rpl->rbl", Pp, st.seq.astype(jnp.float32),
-                         preferred_element_type=jnp.float32)
     sel_c = jnp.einsum("rbc,c->rb", P, (carange & 3).astype(jnp.float32),
                        precision=HI, preferred_element_type=jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (R, B, L), 2)
-    wmask = sel_emit[..., None] & (col == (new_plen - 1)[..., None])
-    seq_new = jnp.where(wmask, sel_c[..., None], seq_par).astype(jnp.uint8)
+    sel_par = jnp.einsum("rbc,c->rb", P, (carange >> 2).astype(jnp.float32),
+                         precision=HI, preferred_element_type=jnp.float32)
+    hrec = ((sel_c + 0.5).astype(jnp.int32)
+            | (sel_emit.astype(jnp.int32) << 2)
+            | ((sel_par + 0.5).astype(jnp.int32) << 3)).astype(jnp.uint16)
+    zero = jnp.zeros((), i.dtype)
+    hist_new = jax.lax.dynamic_update_slice(st.hist, hrec[None],
+                                            (i, zero, zero))
 
     # --- rebuild the winners' DP rows (prefix-min scan on B rows only) ---
     # gather each winner's parent row, then redo the one-row update for the
@@ -385,7 +393,7 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
 
     return BeamState(
         tip=new_tip, off=new_off, plen=new_plen,
-        seq=seq_new, rwin=new_rwin_sel, btgt=bslice,
+        hist=hist_new, rwin=new_rwin_sel, btgt=bslice,
         live=new_live, frozen=new_frozen, compl_=new_compl,
         fdist=new_fdist, fend=new_fend,
         ccsum=new_ccsum, nvis=new_nvis,
@@ -410,7 +418,7 @@ def beam_search(g: DeviceGraph, rb: RegionBatch, *, beam: int, lmax: int,
         tip=jnp.where(slot0, rb.start_tip[:, None], -1).astype(jnp.int32),
         off=jnp.broadcast_to(rb.start_off[:, None], (R, beam)).astype(jnp.int32),
         plen=jnp.zeros((R, beam), jnp.int32),
-        seq=jnp.zeros((R, beam, lmax), jnp.uint8),
+        hist=jnp.zeros((lmax, R, beam), jnp.uint16),
         rwin=rwin0,
         btgt=padded_tgt[:, :W],
         live=slot0,
@@ -432,7 +440,7 @@ def beam_search(g: DeviceGraph, rb: RegionBatch, *, beam: int, lmax: int,
         i, s = carry
         return i + 1, _beam_step(g, rb, padded_tgt, s, i, min_cov)
 
-    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
+    T, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
 
     is_open = rb.end_tip < 0
     # closed regions rank completed paths; if none completed, fall back to the
@@ -452,8 +460,35 @@ def beam_search(g: DeviceGraph, rb: RegionBatch, *, beam: int, lmax: int,
     ar = jnp.arange(R)
     any_ok = eligible[ar, b0] & (st.fdist[ar, b0] < BIG)
     second = jnp.where(eligible[ar, b1] & (b1 != b0), st.fdist[ar, b1], BIG)
+
+    # --- winner path reconstruction from the backpointer history ---
+    # hist[idx] maps each slot of the state AFTER step idx to (parent slot
+    # BEFORE the step, emitted base, emitted?). Walk the winner slot backward
+    # from the final state, writing emitted bases right-to-left.
+    blen = jnp.where(any_ok, st.plen[ar, b0], 0)
+    slot_iota = jnp.arange(beam, dtype=jnp.int32)[None, :]
+
+    def recon(carry, idx):
+        cur, rem, seq = carry
+        h = jax.lax.dynamic_slice(
+            st.hist, (idx, jnp.int32(0), jnp.int32(0)), (1, R, beam)
+        )[0].astype(jnp.int32)                                # [R, beam]
+        hsel = jnp.sum(jnp.where(slot_iota == cur[:, None], h, 0), axis=1)
+        active = idx < T
+        emit = active & (((hsel >> 2) & 1) == 1) & (rem > 0)
+        pos = jnp.maximum(rem - 1, 0)
+        base = (hsel & 3).astype(jnp.uint8)
+        seq = seq.at[ar, pos].set(jnp.where(emit, base, seq[ar, pos]))
+        rem = (rem - emit.astype(jnp.int32)).astype(jnp.int32)
+        cur = jnp.where(active, hsel >> 3, cur).astype(jnp.int32)
+        return (cur, rem, seq), None
+
+    (_, _, best_seq), _ = jax.lax.scan(
+        recon, (b0.astype(jnp.int32), blen, jnp.zeros((R, lmax), jnp.uint8)),
+        jnp.arange(lmax - 1, -1, -1, dtype=jnp.int32))
+
     return BeamResult(
-        best_seq=st.seq[ar, b0],
+        best_seq=best_seq,
         best_len=jnp.where(any_ok, st.plen[ar, b0], 0),
         best_dist=jnp.where(any_ok, st.fdist[ar, b0], BIG),
         best_end=jnp.where(any_ok, st.fend[ar, b0], 0),
