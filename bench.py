@@ -96,13 +96,14 @@ def main() -> None:
             total_bases += len(noisy)
             f.write(f"@L{i}\n{dna.decode(noisy)}\n+\n{'!' * len(noisy)}\n")
 
-    # warm up on a slice of the workload so every bucket shape is compiled
-    # (and lands in the persistent cache) before the timed pass
-    log("pass-1 warmup (compiles bucket kernels)")
+    # warm up: compile all bucket shapes concurrently, then run a small slice
+    # so the steady path (native libs, planner caches) is hot too
+    log("pass-1 warmup (compiles bucket kernels concurrently)")
     t0 = time.time()
+    corr1.warmup_compile()
     warm_path = os.path.join(tmpdir, "warm.fq")
     with open(warm_path, "w") as f, open(lr_path) as src:
-        for _ in range(min(n_reads, 256) * 4):
+        for _ in range(min(n_reads, 64) * 4):
             f.write(src.readline())
     p1_path = os.path.join(tmpdir, "out.2.fastq")
     correct_file(corr1, o1, [warm_path], p1_path, 1)
@@ -130,9 +131,10 @@ def main() -> None:
 
     log("pass-2 warmup")
     t0 = time.time()
+    corr2.warmup_compile()
     warm2_path = os.path.join(tmpdir, "warm2.fq")
     with open(warm2_path, "w") as f, open(p1_path) as src:
-        for _ in range(min(n_reads, 256) * 4):
+        for _ in range(min(n_reads, 64) * 4):
             f.write(src.readline())
     correct_file(corr2, o2, [warm2_path], p2_path, 2)
     warm2 = time.time() - t0

@@ -63,6 +63,13 @@ def _add_common(p: argparse.ArgumentParser, correct_mode: bool) -> None:
     # TPU-specific knobs
     p.add_argument("--beam-width", type=int, default=16)
     p.add_argument("--batch-regions", type=int, default=64)
+    p.add_argument("--auto-subsample", action="store_true",
+                   help="coverage-stratified color subsampling when estimated "
+                        "coverage >= 10 (addCoverage phase 5); off by default "
+                        "— see docs/subsampling.md for the recorded trade")
+    p.add_argument("--spill-bytes", type=int, default=None,
+                   help="spill sorted color pairs to disk past this many "
+                        "bytes (the reference's 4 GB PairID spill)")
 
 
 def _build_opt(args, index_mode: bool) -> CorrectOpt:
@@ -99,6 +106,8 @@ def _build_opt(args, index_mode: bool) -> CorrectOpt:
         index_only=index_mode,
         beam_width=args.beam_width,
         batch_regions=args.batch_regions,
+        auto_subsample=args.auto_subsample,
+        spill_bytes=args.spill_bytes,
     )
     if opt.pass1_only and opt.pass2_only:
         raise SystemExit("-1 and -2 are mutually exclusive (Ratatosk.cpp:402-411)")

@@ -55,6 +55,14 @@ class CorrectOpt:
     min_confidence_snp_corr: float = 0.9
     min_confidence_2nd_pass: float = 0.0
     min_nb_km_unmapped: int = 31       # -u missing-read rescue threshold
+    # coverage-stratified color subsampling (addCoverage phase 5,
+    # Graph.cpp:2312-2871). Off by default: our color storage is capped +
+    # disk-spilled so memory doesn't require it, and the recorded experiment
+    # (docs/subsampling.md) shows ~5x residual-error cost at 40x coverage.
+    auto_subsample: bool = False
+    # spill sorted (unitig, read) pair chunks to disk past this many bytes
+    # (the reference's 4 GB PairID spill, Common.hpp:136); None = in-memory
+    spill_bytes: Optional[int] = None
     no_snp_correction: bool = False    # -F: disable SNP detection/handling
     fix_snps: bool = False             # -f: resolve leftover IUPAC against
                                        # the graph in pass 2 (fixSNPs,

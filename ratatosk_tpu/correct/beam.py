@@ -464,28 +464,29 @@ def beam_search(g: DeviceGraph, rb: RegionBatch, *, beam: int, lmax: int,
     # --- winner path reconstruction from the backpointer history ---
     # hist[idx] maps each slot of the state AFTER step idx to (parent slot
     # BEFORE the step, emitted base, emitted?). Walk the winner slot backward
-    # from the final state, writing emitted bases right-to-left.
+    # from the final state, writing emitted bases right-to-left. A while_loop
+    # (not scan over lmax) so the walk stops at the early-exit step T.
     blen = jnp.where(any_ok, st.plen[ar, b0], 0)
     slot_iota = jnp.arange(beam, dtype=jnp.int32)[None, :]
 
-    def recon(carry, idx):
-        cur, rem, seq = carry
+    def recon_body(carry):
+        idx, cur, rem, seq = carry
         h = jax.lax.dynamic_slice(
             st.hist, (idx, jnp.int32(0), jnp.int32(0)), (1, R, beam)
         )[0].astype(jnp.int32)                                # [R, beam]
         hsel = jnp.sum(jnp.where(slot_iota == cur[:, None], h, 0), axis=1)
-        active = idx < T
-        emit = active & (((hsel >> 2) & 1) == 1) & (rem > 0)
+        emit = (((hsel >> 2) & 1) == 1) & (rem > 0)
         pos = jnp.maximum(rem - 1, 0)
         base = (hsel & 3).astype(jnp.uint8)
         seq = seq.at[ar, pos].set(jnp.where(emit, base, seq[ar, pos]))
         rem = (rem - emit.astype(jnp.int32)).astype(jnp.int32)
-        cur = jnp.where(active, hsel >> 3, cur).astype(jnp.int32)
-        return (cur, rem, seq), None
+        cur = jnp.where(hsel >= 0, hsel >> 3, cur).astype(jnp.int32)
+        return idx - 1, cur, rem, seq
 
-    (_, _, best_seq), _ = jax.lax.scan(
-        recon, (b0.astype(jnp.int32), blen, jnp.zeros((R, lmax), jnp.uint8)),
-        jnp.arange(lmax - 1, -1, -1, dtype=jnp.int32))
+    _, _, _, best_seq = jax.lax.while_loop(
+        lambda c: c[0] >= 0, recon_body,
+        (T - 1, b0.astype(jnp.int32),
+         blen, jnp.zeros((R, lmax), jnp.uint8)))
 
     return BeamResult(
         best_seq=best_seq,

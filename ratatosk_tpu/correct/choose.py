@@ -101,12 +101,15 @@ def choose_region_colors(runs, li: Optional[int], ri: Optional[int],
                   if ri is not None and ri + 1 < len(runs) else [])
     left_ids = uni(left_uids)
     right_ids = uni(right_uids)
-    both = np.intersect1d(left_ids, right_ids)
-    one_side = np.setdiff1d(np.union1d(left_ids, right_ids), both)
+    # all id arrays here are sorted-unique (np.unique output) —
+    # assume_unique skips the redundant internal sorts (hot planner path)
+    both = np.intersect1d(left_ids, right_ids, assume_unique=True)
+    one_side = np.setdiff1d(np.union1d(left_ids, right_ids), both,
+                            assume_unique=True)
     nb_uids = [u for u in left_uids + right_uids if not branching[u]]
     nb_ids = uni(nb_uids)
-    one_nb = np.intersect1d(one_side, nb_ids)
-    one_br = np.setdiff1d(one_side, one_nb)
+    one_nb = np.intersect1d(one_side, nb_ids, assume_unique=True)
+    one_br = np.setdiff1d(one_side, one_nb, assume_unique=True)
 
     row = np.full(cap, CS.PAD, dtype=np.int32)
     wts = np.zeros(cap, dtype=np.int8)
@@ -116,7 +119,7 @@ def choose_region_colors(runs, li: Optional[int], ri: Optional[int],
     weighted_ids = np.union1d(nb_ids, anchors_nb)
     n = 0
     for ids in (in_region, both, one_nb, one_br):
-        take = ids[~np.isin(ids, row[:n])][:cap - n]
+        take = ids[~np.isin(ids, row[:n], assume_unique=True)][:cap - n]
         row[n:n + len(take)] = take
         n += len(take)
         if n >= cap:

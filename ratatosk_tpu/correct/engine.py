@@ -622,12 +622,13 @@ class Corrector:
 
     def _launch_bucket(self, specs: List[RegionSpec], nt: int, mirrored: bool,
                        beam: Optional[int] = None):
-        # pad to a coarse grid {64, batch_regions} so jit compiles at most two
-        # batch shapes per bucket; padding rows are inert (tgt_len=1,
-        # max_plen=1) and freeze on the first step
+        # pad to ONE batch shape (batch_regions) per bucket: per-step device
+        # cost is nearly flat in R on this hardware, so padding small
+        # remainders is free while halving the compile count; padding rows
+        # are inert (tgt_len=1, max_plen=1) and freeze on the first step
         R = len(specs)
-        Rp = 64 if R <= 64 else max(
-            self.opt.batch_regions, 1 << int(np.ceil(np.log2(R))))
+        Rp = max(self.opt.batch_regions,
+                 1 << int(np.ceil(np.log2(max(R, 1)))))
         rb, lmax = make_region_batch(
             specs, nt, self.colors.cap, mirrored=mirrored, r_pad=Rp,
             len_factor=self.opt.weak_region_len_factor)
@@ -645,6 +646,30 @@ class Corrector:
             res, w=band, min_k=self.cdbg.k,
             min_score_open=self.opt.min_score_open_region)
         return fin, lmax
+
+    def warmup_compile(self) -> None:
+        """Compile every bucket kernel shape CONCURRENTLY (XLA compilation
+        releases the GIL), so cold-start warmup costs ~one compile instead of
+        one per bucket; compiles also land in the persistent cache."""
+        from concurrent.futures import ThreadPoolExecutor
+        import jax
+
+        def one(args):
+            nt, mirrored = args
+            ln = min(nt, 32)
+            sp = RegionSpec(
+                read_idx=0, kind="gap" if mirrored else "tail",
+                raw_a=0, raw_b=ln, tgt=np.zeros(ln, np.uint8),
+                start_tip=0, start_off=self.cdbg.k, end_tip=-1, end_off=0,
+                colors_row=self.colors.rows[0].copy(),
+                mirror=(0, self.cdbg.k, 0, self.cdbg.k),
+                mirror_tgt=np.zeros(ln, np.uint8))
+            fin, _ = self._launch_bucket([sp], nt, mirrored)
+            jax.block_until_ready(fin)
+
+        jobs = [(nt, False) for nt in BUCKETS]
+        with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+            list(ex.map(one, jobs))
 
     def _execute_regions(self, regions: List[RegionSpec]):
         # forward pass, bucketed by target length; all bucket batches are

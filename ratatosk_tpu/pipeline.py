@@ -129,15 +129,17 @@ def build_pass1_index(opt: CorrectOpt,
     _log(opt, f"pass 1: {cdbg.n_unitigs} unitigs, {cdbg.index.n} k-mers "
               f"({time.time() - t0:.1f}s)")
     # coverage-stratified subsampling (addCoverage phase 5,
-    # Graph.cpp:2312-2871) is available via color_graph(auto_subsample=True)
-    # but stays opt-in here: with our beam's color scoring it measurably
-    # costs accuracy below ~20x retained coverage, so the default keeps full
-    # colors (capped rows bound the memory). An explicit rate < 1 is the
-    # Bernoulli -S.
+    # Graph.cpp:2312-2871) is opt-in (--auto-subsample): with our beam's
+    # color scoring it measurably costs accuracy below ~20x retained
+    # coverage (recorded experiment: docs/subsampling.md), and memory is
+    # bounded without it (capped rows + PairStore disk spill). An explicit
+    # rate < 1 is the Bernoulli -S.
     colors = color_graph(cdbg, short_reads, read_ids=read_ids,
                          cap=opt.max_cov_vertices,
                          min_cov_edge=opt.min_cov_vertices,
-                         sampling_rate=opt.sampling_rate)
+                         sampling_rate=opt.sampling_rate,
+                         auto_subsample=opt.auto_subsample,
+                         spill_bytes=opt.spill_bytes)
     return cdbg, colors
 
 
@@ -172,7 +174,8 @@ def build_pass2_index(opt: CorrectOpt,
     _log(opt, f"pass 2: coloring with {len(color_reads)} long reads")
     colors = color_graph(cdbg, color_reads,
                          cap=opt.max_cov_vertices,
-                         min_cov_edge=opt.min_cov_vertices)
+                         min_cov_edge=opt.min_cov_vertices,
+                         spill_bytes=opt.spill_bytes)
     return cdbg, colors
 
 
