@@ -69,12 +69,29 @@ class RegionBatch(NamedTuple):
                              # the raw region, 0 when absent. Unused by the
                              # beam itself; consumed by the chained device
                              # finish kernel (correct/finish.py)
+    end_cyclic: jnp.ndarray  # bool [R] the right anchor's unitig lies on a
+                             # short cycle: completion does NOT freeze the
+                             # path (it may legitimately pass the anchor
+                             # state once per repeat copy — the fixRepeats
+                             # role, GraphTraversal.cpp:1149-1334); every
+                             # arrival is captured on the completion
+                             # scoreboard instead
 
 
 class BeamState(NamedTuple):
     tip: jnp.ndarray     # int32 [R, B]
     off: jnp.ndarray     # int32 [R, B]
     plen: jnp.ndarray    # int32 [R, B]
+    # completion scoreboard (per region): every candidate that arrives at the
+    # right anchor state is captured here — arrivals do NOT consume the entry
+    # when the anchor is cyclic, so paths with more repeat copies keep
+    # walking and later (better-aligned) arrivals can replace the best
+    cbest: jnp.ndarray   # int32 [R] best completed NW distance (BIG = none)
+    cstep: jnp.ndarray   # int32 [R] step index of the best arrival
+    ccand: jnp.ndarray   # int32 [R] candidate index (b*4+c) of that arrival
+    cplen: jnp.ndarray   # int32 [R] path length of that arrival
+    csecond: jnp.ndarray  # int32 [R] runner-up completed distance
+    cnum: jnp.ndarray    # int32 [R] number of arrivals captured
     # emitted bases are NOT materialized per entry: each step records
     # (parent slot, base, emitted?) per surviving slot in a [LMAX, R, B]
     # history, and only the winner's path is reconstructed after the loop —
@@ -88,6 +105,11 @@ class BeamState(NamedTuple):
                          # so the window update is one fetched column, not a
                          # per-row W-wide gather
     live: jnp.ndarray    # bool [R, B] slot holds a real path
+    cmin: jnp.ndarray    # int32 [R, B] weakest-link shared-read count over
+                         # the path's branch steps — the selectMostContiguous
+                         # tie-break (GraphTraversal.cpp:911-964): among
+                         # equal-scoring paths, the one whose junctions all
+                         # carry read support end-to-end wins
     frozen: jnp.ndarray  # bool [R, B] stopped (completed/dead end/over budget)
     compl_: jnp.ndarray  # bool [R, B] reached the right anchor
     fdist: jnp.ndarray   # int32 [R, B] distance captured at freeze time
@@ -167,7 +189,11 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
     d = st.tip & 1
     # one fused gather per step: successors (support pre-folded), ulen, uoff
     rec = g.utbl[uid, d]                   # [R, B, 6]
-    e = rec[..., :4]                       # -1 = absent OR not read-supported
+    e_raw = rec[..., :4]                   # -1 = absent OR not read-supported
+    # bit 30 marks edges rescued by the k2 graph (graphdev.from_host):
+    # exempt from the color branch filter below
+    e_resc = (e_raw >= 0) & (((e_raw >> 30) & 1) == 1)
+    e = jnp.where(e_raw >= 0, e_raw & ((1 << 30) - 1), e_raw)
     ul = rec[..., 4]
     uo = rec[..., 5]
     active = st.live & ~st.frozen
@@ -205,10 +231,15 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
     cand_branch = at_bound[..., None] & emits
     cand_ccsum = jnp.broadcast_to(st.ccsum[..., None], (R, B, 4))
     cand_nvis = jnp.where(cand_branch, st.nvis[..., None] + 1, st.nvis[..., None])
+    # arrival at the right anchor state. On a CYCLIC anchor the entry is NOT
+    # frozen — it may pass this state once per repeat copy (fixRepeats,
+    # GraphTraversal.cpp:1149-1334) — every arrival is captured on the
+    # completion scoreboard below
+    arrive = (emits & (rb.end_tip[:, None, None] >= 0)
+              & (cand_tip == rb.end_tip[:, None, None])
+              & (cand_off == rb.end_off[:, None, None]))
     cand_compl = st.compl_[..., None] | (
-        emits & (rb.end_tip[:, None, None] >= 0)
-        & (cand_tip == rb.end_tip[:, None, None])
-        & (cand_off == rb.end_off[:, None, None]))
+        arrive & ~rb.end_cyclic[:, None, None])
 
     # --- banded DP candidate scoring (no prefix-min scan here) ---
     # every live entry of a region has plen == i, so the band window start is
@@ -252,6 +283,26 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
     tl = jnp.broadcast_to(rb.tgt_len[:, None, None], (R, B, 4))
     cols4 = jnp.broadcast_to(cols[:, None, None, :], (R, B, 4, W))
     dist_pref, end_max, dist_nw = _band_dists_from_d(dmat, cols4, tl)
+
+    # --- completion scoreboard update (pre-selection: an arrival that loses
+    # the rank cut is still a finished path) ---
+    C = B * 4
+    arr_d = jnp.where(arrive & valid, dist_nw, BIG).reshape(R, C)
+    m1 = arr_d.min(axis=1)
+    a1 = jnp.argmin(arr_d, axis=1).astype(jnp.int32)
+    ar_r = jnp.arange(R)
+    plen_at = cand_plen.reshape(R, C)[ar_r, a1]
+    multi = (arr_d == m1[:, None]).sum(axis=1) >= 2
+    m2 = jnp.where(multi, m1,
+                   jnp.where(arr_d > m1[:, None], arr_d, BIG).min(axis=1))
+    vals = jnp.sort(jnp.stack([st.cbest, st.csecond, m1, m2], axis=1), axis=1)
+    take_new = m1 < st.cbest
+    new_cbest = vals[:, 0]
+    new_csecond = vals[:, 1]
+    new_cstep = jnp.where(take_new, i, st.cstep).astype(jnp.int32)
+    new_ccand = jnp.where(take_new, a1, st.ccand).astype(jnp.int32)
+    new_cplen = jnp.where(take_new, plen_at, st.cplen).astype(jnp.int32)
+    new_cnum = st.cnum + (arr_d < BIG).sum(axis=1).astype(jnp.int32)
     # non-emitting (keep) slots: stats of the parent's current row, which
     # lives at window ws(i)
     cols_prev = ws[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
@@ -282,7 +333,6 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
     # lax.top_k lowers to a serialized sort (~1.3ms/step at R=512, 93% of the
     # step); rank-by-pairwise-comparison is pure VPU: rank[c] = #candidates
     # strictly better (ties broken by slot index), P[b, c] = (rank[c] == b).
-    C = B * 4
     fscore = score.reshape(R, C)
     sgt = fscore[:, :, None] > fscore[:, None, :]            # [R, C', C]
     seq_tie = (fscore[:, :, None] == fscore[:, None, :]) & (
@@ -292,6 +342,8 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
     P = (rank[:, None, :] == jnp.arange(B, dtype=jnp.int32)[None, :, None]
          ).astype(jnp.float32)                               # [R, B, C]
 
+    cand_rescued = cand_branch & e_resc
+    cand_cmin = jnp.broadcast_to(st.cmin[..., None], (R, B, 4))
     scalars = jnp.stack([
         cand_tip.astype(jnp.float32),
         cand_off.astype(jnp.float32),
@@ -305,7 +357,9 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
         cand_fend.astype(jnp.float32),
         cand_branch.astype(jnp.float32),
         valid.astype(jnp.float32),
-    ], axis=-1).reshape(R, C, 12)
+        cand_rescued.astype(jnp.float32),
+        cand_cmin.astype(jnp.float32),
+    ], axis=-1).reshape(R, C, 14)
     # precision=HIGHEST is LOAD-BEARING on every einsum that moves integer
     # state: TPU matmuls default to bf16 multiplication, which silently
     # rounds any value > 256 (off 1113 -> 1112, plen 257 -> 256). A rounded
@@ -331,6 +385,8 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
     # slot becomes a live, never-emitting, never-freezing zombie and the
     # all-frozen early exit below NEVER fires — every search runs to lmax.
     new_live = selected[..., 11] > 0.5
+    sel_rescued = selected[..., 12] > 0.5
+    sel_cmin = selected[..., 13].astype(jnp.int32)
     sel_score = jnp.einsum("rbc,rc->rb", P, fscore, precision=HI,
                            preferred_element_type=jnp.float32)
     new_live = new_live & (sel_score > NEG / 2)
@@ -341,11 +397,20 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
     sel_sig = g.color_sig[jnp.maximum(new_tip >> 1, 0)]      # [R, B, H]
     shared = CS.intersect_count_sig(sel_sig, rb.colors_sig[:, None, :], jnp)
     wshared = CS.intersect_count_sig(sel_sig, rb.colors_wsig[:, None, :], jnp)
-    new_live = new_live & (~sel_branch | new_compl | (shared >= min_cov))
+    # k2-rescued edges bypass the color filter (long-k context certifies the
+    # junction, addCoverage phase 7) and score at least min_cov
+    new_live = new_live & (~sel_branch | new_compl | sel_rescued
+                           | (shared >= min_cov))
+    wsh_eff = jnp.where(sel_rescued, jnp.maximum(wshared, min_cov), wshared)
     new_ccsum = jnp.where(
         sel_branch,
-        new_ccsum + jnp.minimum(wshared, _CAPC).astype(jnp.float32) / _CAPC,
+        new_ccsum + jnp.minimum(wsh_eff, _CAPC).astype(jnp.float32) / _CAPC,
         new_ccsum)
+    # weakest junction support along the path (selectMostContiguous
+    # tie-break); rescued junctions count as min_cov-supported
+    sh_eff = jnp.where(sel_rescued, jnp.maximum(shared, min_cov), shared)
+    new_cmin = jnp.where(sel_branch, jnp.minimum(sel_cmin, sh_eff),
+                         sel_cmin).astype(jnp.int32)
 
     # path history: record (base, emitted, parent slot) per winner — the
     # winner's sequence is reconstructed once after the loop (backpointers),
@@ -393,8 +458,10 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
 
     return BeamState(
         tip=new_tip, off=new_off, plen=new_plen,
+        cbest=new_cbest, cstep=new_cstep, ccand=new_ccand,
+        cplen=new_cplen, csecond=new_csecond, cnum=new_cnum,
         hist=hist_new, rwin=new_rwin_sel, btgt=bslice,
-        live=new_live, frozen=new_frozen, compl_=new_compl,
+        live=new_live, cmin=new_cmin, frozen=new_frozen, compl_=new_compl,
         fdist=new_fdist, fend=new_fend,
         ccsum=new_ccsum, nvis=new_nvis,
     )
@@ -418,10 +485,17 @@ def beam_search(g: DeviceGraph, rb: RegionBatch, *, beam: int, lmax: int,
         tip=jnp.where(slot0, rb.start_tip[:, None], -1).astype(jnp.int32),
         off=jnp.broadcast_to(rb.start_off[:, None], (R, beam)).astype(jnp.int32),
         plen=jnp.zeros((R, beam), jnp.int32),
+        cbest=jnp.full((R,), BIG, jnp.int32),
+        cstep=jnp.zeros((R,), jnp.int32),
+        ccand=jnp.zeros((R,), jnp.int32),
+        cplen=jnp.zeros((R,), jnp.int32),
+        csecond=jnp.full((R,), BIG, jnp.int32),
+        cnum=jnp.zeros((R,), jnp.int32),
         hist=jnp.zeros((lmax, R, beam), jnp.uint16),
         rwin=rwin0,
         btgt=padded_tgt[:, :W],
         live=slot0,
+        cmin=jnp.full((R, beam), BIG, jnp.int32),
         frozen=jnp.zeros((R, beam), bool),
         compl_=jnp.zeros((R, beam), bool),
         fdist=jnp.full((R, beam), BIG, jnp.int32),
@@ -442,58 +516,78 @@ def beam_search(g: DeviceGraph, rb: RegionBatch, *, beam: int, lmax: int,
 
     T, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
 
-    is_open = rb.end_tip < 0
-    # closed regions rank completed paths; if none completed, fall back to the
-    # best partial path (the engine merges fw/bw partials, generateConsensus-
-    # style, Alignment.cpp:309-470). Open regions rank every path.
-    has_compl = (st.live & st.compl_).any(axis=1)
-    eligible = jnp.where(is_open[:, None] | ~has_compl[:, None],
-                         st.live, st.live & st.compl_)
+    # completed regions read the scoreboard (every right-anchor arrival was
+    # captured there, pre-selection and regardless of freezing); regions with
+    # no arrival fall back to the best partial entry (the engine merges fw/bw
+    # partials, generateConsensus-style, Alignment.cpp:309-470)
+    has_c = st.cnum > 0
+    eligible = st.live
     denom = jnp.where(st.compl_, rb.tgt_len[:, None], jnp.maximum(st.plen, 1))
     align = 1.0 - st.fdist.astype(jnp.float32) / jnp.maximum(denom, 1).astype(jnp.float32)
     color = st.ccsum / jnp.maximum(st.nvis, 1).astype(jnp.float32)
     score = 0.5 * jnp.clip(align, -1.0, 1.0) + 0.5 * color
     escore = jnp.where(eligible, score, NEG)
     order = jnp.argsort(-escore, axis=1)
-    b0 = order[:, 0]
-    b1 = order[:, jnp.minimum(1, escore.shape[1] - 1)]
+    # selectMostContiguous tie-break (GraphTraversal.cpp:911-964): among
+    # entries within float tolerance of the best score, pick the one with
+    # the highest weakest-link junction support
+    mx = escore.max(axis=1, keepdims=True)
+    tied = eligible & (escore >= mx - 1e-6)
+    b0 = jnp.argmax(jnp.where(tied, st.cmin + 1, 0), axis=1)
+    b1 = jnp.where(order[:, 0] == b0,
+                   order[:, jnp.minimum(1, escore.shape[1] - 1)], order[:, 0])
     ar = jnp.arange(R)
     any_ok = eligible[ar, b0] & (st.fdist[ar, b0] < BIG)
-    second = jnp.where(eligible[ar, b1] & (b1 != b0), st.fdist[ar, b1], BIG)
+    second_fb = jnp.where(eligible[ar, b1] & (b1 != b0), st.fdist[ar, b1], BIG)
 
     # --- winner path reconstruction from the backpointer history ---
     # hist[idx] maps each slot of the state AFTER step idx to (parent slot
-    # BEFORE the step, emitted base, emitted?). Walk the winner slot backward
-    # from the final state, writing emitted bases right-to-left. A while_loop
-    # (not scan over lmax) so the walk stops at the early-exit step T.
-    blen = jnp.where(any_ok, st.plen[ar, b0], 0)
+    # BEFORE the step, emitted base, emitted?). Walk the winner backward,
+    # writing emitted bases right-to-left. Completed regions start at their
+    # scoreboard arrival (step, candidate): the arrival's own base is seeded
+    # first (it may not have survived selection, so it is absent from hist),
+    # then the walk continues from the candidate's parent slot. A while_loop
+    # (not scan over lmax) stops at the latest needed step.
+    blen_fb = jnp.where(any_ok, st.plen[ar, b0], 0)
+    blen = jnp.where(has_c, st.cplen, blen_fb)
     slot_iota = jnp.arange(beam, dtype=jnp.int32)[None, :]
+
+    start_idx = jnp.where(has_c, st.cstep - 1, T - 1)
+    cur0 = jnp.where(has_c, st.ccand >> 2, b0).astype(jnp.int32)
+    rem0 = jnp.where(has_c, st.cplen - 1, blen_fb).astype(jnp.int32)
+    seq0 = jnp.zeros((R, lmax), jnp.uint8)
+    seed_pos = jnp.clip(st.cplen - 1, 0, lmax - 1)
+    seq0 = seq0.at[ar, seed_pos].set(
+        jnp.where(has_c & (st.cplen > 0), (st.ccand & 3).astype(jnp.uint8),
+                  seq0[ar, seed_pos]))
 
     def recon_body(carry):
         idx, cur, rem, seq = carry
         h = jax.lax.dynamic_slice(
-            st.hist, (idx, jnp.int32(0), jnp.int32(0)), (1, R, beam)
-        )[0].astype(jnp.int32)                                # [R, beam]
+            st.hist, (jnp.maximum(idx, 0), jnp.int32(0), jnp.int32(0)),
+            (1, R, beam))[0].astype(jnp.int32)                # [R, beam]
+        act = idx <= start_idx
         hsel = jnp.sum(jnp.where(slot_iota == cur[:, None], h, 0), axis=1)
-        emit = (((hsel >> 2) & 1) == 1) & (rem > 0)
+        emit = act & (((hsel >> 2) & 1) == 1) & (rem > 0)
         pos = jnp.maximum(rem - 1, 0)
         base = (hsel & 3).astype(jnp.uint8)
         seq = seq.at[ar, pos].set(jnp.where(emit, base, seq[ar, pos]))
         rem = (rem - emit.astype(jnp.int32)).astype(jnp.int32)
-        cur = jnp.where(hsel >= 0, hsel >> 3, cur).astype(jnp.int32)
+        cur = jnp.where(act, hsel >> 3, cur).astype(jnp.int32)
         return idx - 1, cur, rem, seq
 
     _, _, _, best_seq = jax.lax.while_loop(
         lambda c: c[0] >= 0, recon_body,
-        (T - 1, b0.astype(jnp.int32),
-         blen, jnp.zeros((R, lmax), jnp.uint8)))
+        (jnp.max(start_idx), cur0, rem0, seq0))
 
     return BeamResult(
         best_seq=best_seq,
-        best_len=jnp.where(any_ok, st.plen[ar, b0], 0),
-        best_dist=jnp.where(any_ok, st.fdist[ar, b0], BIG),
-        best_end=jnp.where(any_ok, st.fend[ar, b0], 0),
-        second_dist=second,
-        completed=st.compl_[ar, b0] & any_ok,
-        n_done=(st.live & st.compl_).sum(axis=1).astype(jnp.int32),
+        best_len=blen,
+        best_dist=jnp.where(has_c, st.cbest,
+                            jnp.where(any_ok, st.fdist[ar, b0], BIG)),
+        best_end=jnp.where(has_c, rb.tgt_len,
+                           jnp.where(any_ok, st.fend[ar, b0], 0)),
+        second_dist=jnp.where(has_c, st.csecond, second_fb),
+        completed=has_c,
+        n_done=st.cnum,
     )

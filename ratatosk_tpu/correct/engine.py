@@ -66,13 +66,16 @@ def make_region_batch(specs: List["RegionSpec"], nt: int, color_cap: int, *,
     colors = np.full((Rp, color_cap), CS.PAD, dtype=np.int32)
     weights = np.zeros((Rp, color_cap), dtype=np.int8)
     max_plen = np.ones(Rp, dtype=np.int32)
+    end_cyc = np.zeros(Rp, dtype=bool)
     for i, sp in enumerate(specs):
         if mirrored:
             tgt = sp.mirror_tgt
             stip, soff, etip, eoff = sp.mirror
+            end_cyc[i] = sp.mirror_end_on_cycle
         else:
             tgt, stip, soff = sp.tgt, sp.start_tip, sp.start_off
             etip, eoff = sp.end_tip, sp.end_off
+            end_cyc[i] = sp.end_on_cycle
         tgt_masks[i, :len(tgt)] = dna.codes_to_masks(tgt)
         if not mirrored and sp.tgt_qual is not None:
             tgt_qual[i, :len(sp.tgt_qual)] = np.maximum(
@@ -95,7 +98,8 @@ def make_region_batch(specs: List["RegionSpec"], nt: int, color_cap: int, *,
         end_tip=jnp.asarray(end_tip), end_off=jnp.asarray(end_off),
         colors_sig=jnp.asarray(CS.color_signature(colors)),
         colors_wsig=jnp.asarray(CS.color_signature(colors, weights=weights)),
-        max_plen=jnp.asarray(max_plen), tgt_qual=jnp.asarray(tgt_qual))
+        max_plen=jnp.asarray(max_plen), tgt_qual=jnp.asarray(tgt_qual),
+        end_cyclic=jnp.asarray(end_cyc))
     return rb, lmax
 
 
@@ -121,6 +125,10 @@ class RegionSpec:
     # an anchor unitig lies on a short repeat cycle: the beam gets a doubled
     # path budget (fixRepeats, GraphTraversal.cpp:1149-1334)
     on_cycle: bool = False
+    # the RIGHT anchor specifically is cyclic: completion must not freeze
+    # the path (beam.py scoreboard; the fixRepeats splicing role)
+    end_on_cycle: bool = False
+    mirror_end_on_cycle: bool = False
     # anchors for the backward mirror (gap regions)
     mirror: Optional[tuple] = None
     # right-anchor GRAPH k-mer bases + its raw-window length (differs from k
@@ -179,11 +187,11 @@ class Corrector:
         self.hap = hap   # graph.phasing.HapReads or None
         self.snps = snps  # graph.snp.SnpAnnotations or None
         # sharded-index mode: when a mesh is given and the index exceeds the
-        # threshold (one-word keys only), anchor lookups run range-partitioned
-        # across the mesh instead of against the replicated host array
+        # threshold, anchor lookups run range-partitioned across the mesh
+        # instead of against the replicated host array (both key widths —
+        # pass 2's k=63 two-word index is the one that outgrows HBM)
         self.sharded = None
-        if (mesh is not None and not cdbg.index.two_word
-                and cdbg.index.n >= self.opt.shard_index_min_keys):
+        if mesh is not None and cdbg.index.n >= self.opt.shard_index_min_keys:
             from ratatosk_tpu.parallel.sharded_index import ShardedKmerIndex
             self.sharded = ShardedKmerIndex(cdbg.index, mesh)
         self.g = DeviceGraph.from_host(cdbg, colors)
@@ -537,7 +545,8 @@ class Corrector:
         sh = self.sharded
 
         def probe(can, valid):
-            uid, pos, strand = sh.lookup(np.asarray(can.lo))
+            hi = np.asarray(can.hi) if sh.two_word else None
+            uid, pos, strand = sh.lookup(np.asarray(can.lo), hi)
             uid = np.asarray(uid).copy()
             uid[~valid] = -1
             return uid, np.asarray(pos), np.asarray(strand).astype(bool)
@@ -611,6 +620,8 @@ class Corrector:
             colors_row=c_row, colors_w=c_w,
             tgt_qual=None if q_cur is None else q_cur[raw_a:raw_b].copy(),
             on_cycle=self._on_cycle(run.uid) or self._on_cycle(nxt.uid),
+            end_on_cycle=self._on_cycle(nxt.uid),
+            mirror_end_on_cycle=self._on_cycle(run.uid),
             mirror=mirror,
             mirror_tgt=dna.revcomp_codes(codes[m_a:m_b]),
             end_anchor=self._oriented_slice(nxt.uid, nxt.direction,
@@ -801,8 +812,11 @@ class Corrector:
 
         fw covers raw [raw_a, raw_a+end_f); bw (reversed) covers
         raw [raw_b-k-end_b, raw_b-k), to which the solid right-anchor k-mer
-        raw[raw_b-k, raw_b) is appended. Overlapping partials keep whichever
-        direction corrected the longer stretch (Alignment.cpp:415-448).
+        raw[raw_b-k, raw_b) is appended. OVERLAPPING partials are merged
+        region-wise: the side that corrected the longer stretch keeps the
+        overlap, and the other side's non-overlapping remainder is spliced at
+        a CIGAR-mapped cut (generateConsensus's per-region choice +
+        moveIntoCIGAR, Alignment.cpp:354-448).
         """
         k = self.cdbg.k
         n = len(sp.tgt)
@@ -815,6 +829,44 @@ class Corrector:
         anchor = sp.end_anchor if sp.end_anchor is not None else sp.tgt[-k:]
         ew = sp.end_win or k   # raw bases the right-anchor window consumes
         anchor_q = np.full(len(anchor), self._qual_for(1.0), np.uint8)
+        nb0 = n - ew - end_b   # first target column bw covers
+        overlap = f is not None and b is not None and end_f > nb0
+
+        if overlap:
+            bw_seq = dna.revcomp_codes(b[0])
+            if end_f >= end_b:
+                # fw keeps the overlap; splice bw's remainder past column
+                # end_f via its query->target CIGAR map
+                bw_tgt = sp.tgt[max(nb0, 0):n - ew]
+                _, cig, c0, _ = CG.aln_cigar(dna.codes_to_masks(bw_seq),
+                                             dna.codes_to_masks(bw_tgt),
+                                             CG.NW)
+                q2t = CG.query_target_map(cig, len(bw_seq), c0)
+                past = np.flatnonzero(q2t >= end_f - max(nb0, 0))
+                bw_rest = bw_seq[past[0]:] if past.size else \
+                    np.zeros(0, np.uint8)
+                sp.seq = np.concatenate([f[0], bw_rest, anchor])
+                sp.qual = np.concatenate([
+                    np.full(len(f[0]), self._qual_for(f[2]), np.uint8),
+                    np.full(len(bw_rest), self._qual_for(b[2]), np.uint8),
+                    anchor_q])
+            else:
+                # bw keeps the overlap; cut fw at column nb0
+                fw_tgt = sp.tgt[:end_f]
+                _, cig, c0, _ = CG.aln_cigar(dna.codes_to_masks(f[0]),
+                                             dna.codes_to_masks(fw_tgt),
+                                             CG.NW)
+                q2t = CG.query_target_map(cig, len(f[0]), c0)
+                keep = np.flatnonzero(q2t >= nb0)
+                fw_head = f[0][:keep[0]] if keep.size else f[0]
+                sp.seq = np.concatenate([fw_head, bw_seq, anchor])
+                sp.qual = np.concatenate([
+                    np.full(len(fw_head), self._qual_for(f[2]), np.uint8),
+                    np.full(len(bw_seq), self._qual_for(b[2]), np.uint8),
+                    anchor_q])
+            sp.ok = True
+            return True
+
         if f and (not b or end_f >= end_b) and end_f + ew <= n:
             # fw partial + raw middle + right-anchor graph k-mer
             qual_f = np.full(len(f[0]), self._qual_for(f[2]), np.uint8)

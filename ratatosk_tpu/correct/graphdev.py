@@ -34,10 +34,12 @@ class DeviceGraph:
     useq: jnp.ndarray         # uint8 [total_bp] 2-bit codes
     utbl: jnp.ndarray         # int32 [N, 2, 6]: per leaving strand d the 4
                               # support-masked successors (packed v<<1|dir,
-                              # -1 = absent/unsupported), then ulen, uoff —
-                              # ONE [R, B, 6] gather per beam step (gather
-                              # cost is flat in the trailing dim, so fusing
-                              # the three per-unitig gathers is ~3x cheaper)
+                              # -1 = absent/unsupported; bit 30 = rescued by
+                              # the k2 graph, exempt from the color filter),
+                              # then ulen, uoff — ONE [R, B, 6] gather per
+                              # beam step (gather cost is flat in the
+                              # trailing dim, so fusing the three per-unitig
+                              # gathers is ~3x cheaper)
     color_sig: jnp.ndarray    # int8 [N, SIG_BINS] hashed color indicator
 
     def tree_flatten(self):
@@ -66,6 +68,9 @@ class DeviceGraph:
 
         n = cdbg.n_unitigs
         edges_sup = np.where(colors.edge_support, cdbg.edges, -1)
+        if colors.edge_rescued is not None:
+            edges_sup = np.where((edges_sup >= 0) & colors.edge_rescued,
+                                 edges_sup | (1 << 30), edges_sup)
         utbl = np.empty((n, 2, 6), dtype=np.int32)
         utbl[:, :, :4] = edges_sup
         utbl[:, :, 4] = cdbg.ulen.astype(np.int32)[:, None]

@@ -57,6 +57,10 @@ class GraphColors:
     # loading a persisted index.
     csr_offsets: Optional[np.ndarray] = None   # int64 [N+1]
     csr_rids: Optional[np.ndarray] = None      # int32 [pairs]
+    # edges rescued by the k2 graph (addCoverage phase 7): the beam exempts
+    # them from the >= min_cov shared-color branch filter — the long-k
+    # context is the certification (graph/rescue_edges.py)
+    edge_rescued: Optional[np.ndarray] = None  # bool [N, 2, 4]
 
     def full_row(self, uid: int) -> np.ndarray:
         """Full sorted id set of a unitig (falls back to the capped row)."""

@@ -43,6 +43,8 @@ def save_index(path: str, cdbg: Cdbg, colors: Optional[GraphColors]) -> None:
             coverage=colors.coverage, edge_support=colors.edge_support,
             n_colors=np.int64(colors.n_colors),
         )
+        if colors.edge_rescued is not None:
+            arrays["edge_rescued"] = colors.edge_rescued
     np.savez_compressed(path, **arrays)
 
 
@@ -64,5 +66,7 @@ def load_index(path: str) -> Tuple[Cdbg, Optional[GraphColors]]:
             cap=int(z["color_cap"]), rows=z["color_rows"], card=z["color_card"],
             coverage=z["coverage"], edge_support=z["edge_support"],
             n_colors=int(z["n_colors"]),
+            edge_rescued=(z["edge_rescued"] if "edge_rescued" in z.files
+                          else None),
         )
     return cdbg, colors

@@ -96,23 +96,33 @@ def rescue_pass1_edges(cdbg: Cdbg, colors: GraphColors, cdbg_k2: Cdbg,
     _, first = np.unique(key, return_index=True)
     u1, d1, u2, d2, cslot = (x[first] for x in (u1, d1, u2, d2, cslot))
 
+    if colors.edge_rescued is None:
+        colors.edge_rescued = np.zeros_like(colors.edge_support)
     n_rescued = 0
     next_id = colors.n_colors
     for a, da, b, db, c in zip(u1, d1, u2, d2, cslot):
         colors.edge_support[a, da, c] = True
+        colors.edge_rescued[a, da, c] = True
         # the mirror slot (b, db^1) -> (a, da^1)
         tip_back = (int(a) << 1) | (int(da) ^ 1)
         back = cdbg.edges[b, db ^ 1]
         cb = int(np.argmax(back == tip_back))
         if back[cb] == tip_back:
             colors.edge_support[b, db ^ 1, cb] = True
-        # two fresh pseudo-read ids on BOTH endpoints (Graph.cpp:3254-3270)
+            colors.edge_rescued[b, db ^ 1, cb] = True
+        # two fresh pseudo-read ids on BOTH endpoints (Graph.cpp:3254-3270);
+        # full rows overwrite their largest sampled ids (pseudo ids are the
+        # global maximum, so sorted order holds either way)
         ids = np.array([next_id, next_id + 1], dtype=np.int32)
         next_id += 2
         for u in (int(a), int(b)):
             row = colors.rows[u]
-            free = np.flatnonzero(row == CS.PAD)[:2]
-            row[free] = ids[:len(free)]   # largest ids: sorted order holds
+            vals = row[row != CS.PAD]
+            if len(vals) > len(row) - 2:
+                vals = vals[:len(row) - 2]
+            row[:] = CS.PAD
+            row[:len(vals)] = vals
+            row[len(vals):len(vals) + 2] = ids
             colors.card[u] += 2
         n_rescued += 1
     colors.n_colors = next_id

@@ -161,6 +161,7 @@ def run_distributed_correct(opt, coordinator=None, num_processes=None,
             if shorts is None:
                 shorts, ids, names = load_shorts()
             cdbg, colors = pipeline.build_pass1_index(opt, shorts, ids)
+            pipeline.rescue_edges_pass1(opt, cdbg, colors, shorts)
             GIO.save_index(idx1, cdbg, colors)
         barrier()
         if opt.filename_graph_in or pid != 0:

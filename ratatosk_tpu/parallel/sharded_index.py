@@ -10,11 +10,14 @@ keys are sorted, so each query hits exactly one shard and misses return -1 —
 and one `pmax` combines the per-shard answers. One collective per lookup
 batch, O(log(N/D)) gathers per device: the all-gather-free analog of the
 reference's "replicate index to every node" scaled past one node's memory.
+
+Both key widths shard: k<=32 (one uint64 word) and 32<k<=64 (two words,
+ordered by (hi, lo) — the pass-2 k=63 index, the one that actually outgrows
+HBM, partitions the same way).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -26,18 +29,14 @@ from jax.experimental.shard_map import shard_map
 from ratatosk_tpu.ops.kmer_index import KmerIndex
 
 
-
 class ShardedKmerIndex:
-    """Sorted 1-word key array split into equal ranges across a mesh axis."""
+    """Sorted key array split into equal contiguous ranges across a mesh axis."""
 
     def __init__(self, index: KmerIndex, mesh: Mesh):
         self.axis = mesh.axis_names[0]
-        if index.two_word:
-            raise NotImplementedError(
-                "sharded lookup currently supports k<=32 (1-word keys); "
-                "pass 2 (k=63) uses the replicated index")
         self.mesh = mesh
         self.k = index.k
+        self.two_word = index.two_word
         n_dev = mesh.devices.size
         n = index.n
         per = -(-n // n_dev)
@@ -52,6 +51,8 @@ class ShardedKmerIndex:
         sh = NamedSharding(mesh, P(self.axis))
         self.keys = jax.device_put(
             padk(index.keys_lo, maxkey).reshape(n_dev, per), sh)
+        self.keys_hi = None if not index.two_word else jax.device_put(
+            padk(index.keys_hi, maxkey).reshape(n_dev, per), sh)
         self.uid = jax.device_put(
             padk(index.unitig_id, -1).reshape(n_dev, per), sh)
         self.pos = jax.device_put(
@@ -64,24 +65,32 @@ class ShardedKmerIndex:
         per = self.per
         mesh = self.mesh
         axis = self.axis
+        two = self.two_word
 
-        def local(keys, uid, pos, strand, q):
+        def local(keys, keys_hi, uid, pos, strand, q_lo, q_hi):
             # keys [1, per] local shard; q [Q] replicated
             k = keys[0]
+            kh = keys_hi[0] if two else None
             steps = max(1, int(np.ceil(np.log2(per + 1))))
             # carries become axis-varying once they touch the local shard
-            lo = jax.lax.pvary(jnp.zeros(q.shape, jnp.int32), (axis,))
-            hi = jax.lax.pvary(jnp.full(q.shape, per, jnp.int32), (axis,))
+            lo = jax.lax.pvary(jnp.zeros(q_lo.shape, jnp.int32), (axis,))
+            hi = jax.lax.pvary(jnp.full(q_lo.shape, per, jnp.int32), (axis,))
 
             def body(_, lh):
                 lo, hi = lh
                 mid = (lo + hi) >> 1
-                go = k[jnp.minimum(mid, per - 1)] < q
+                m = jnp.minimum(mid, per - 1)
+                if two:
+                    go = (kh[m] < q_hi) | ((kh[m] == q_hi) & (k[m] < q_lo))
+                else:
+                    go = k[m] < q_lo
                 return jnp.where(go, mid + 1, lo), jnp.where(go, hi, mid)
 
             lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
             safe = jnp.minimum(lo, per - 1)
-            found = (lo < per) & (k[safe] == q)
+            found = (lo < per) & (k[safe] == q_lo)
+            if two:
+                found = found & (kh[safe] == q_hi)
             hit_uid = jnp.where(found, uid[0][safe], -1)
             hit_pos = jnp.where(found, pos[0][safe], -1)
             hit_strand = jnp.where(found, strand[0][safe], -1)
@@ -93,13 +102,17 @@ class ShardedKmerIndex:
         fn = shard_map(
             local, mesh=mesh,
             in_specs=(P(axis, None), P(axis, None), P(axis, None),
-                      P(axis, None), P()),
+                      P(axis, None), P(axis, None), P(), P()),
             out_specs=(P(), P(), P()),
         )
         return jax.jit(fn)
 
-    def lookup(self, queries: jnp.ndarray):
+    def lookup(self, q_lo: jnp.ndarray, q_hi: Optional[jnp.ndarray] = None):
         """Canonical uint64 queries [Q] -> (uid, pos, strand) int32 [Q],
-        -1 where absent."""
-        return self._lookup(self.keys, self.uid, self.pos, self.strand,
-                            jnp.asarray(queries))
+        -1 where absent. Two-word indexes require q_hi."""
+        if self.two_word and q_hi is None:
+            raise ValueError("two-word index lookup requires q_hi")
+        kh = self.keys_hi if self.two_word else self.keys
+        qh = q_hi if self.two_word else q_lo
+        return self._lookup(self.keys, kh, self.uid, self.pos, self.strand,
+                            jnp.asarray(q_lo), jnp.asarray(qh))

@@ -143,21 +143,42 @@ def build_pass1_index(opt: CorrectOpt,
     return cdbg, colors
 
 
+def rescue_edges_pass1(opt: CorrectOpt, cdbg, colors,
+                       short_reads: list):
+    """Pass-1 low-coverage edge rescue from the k2 graph (addCoverage phase
+    7, Graph.cpp:3085-3363): builds the UNCOLORED k2 cDBG from the short
+    reads, adds pseudo-read support to k1 edges that are consecutive inside
+    a k2 unitig, and returns the k2 cdbg so pass 2 can reuse it."""
+    from ratatosk_tpu.graph.rescue_edges import rescue_pass1_edges
+    t0 = time.time()
+    cdbg2 = B.build_cdbg(short_reads, opt.k, min_count=opt.min_count_kmer)
+    n = rescue_pass1_edges(cdbg, colors, cdbg2,
+                           min_cov=opt.min_cov_vertices)
+    _log(opt, f"pass 1: rescued {n} low-coverage edges from the k{opt.k} "
+              f"graph ({time.time() - t0:.1f}s)")
+    return cdbg2
+
+
 def build_pass2_index(opt: CorrectOpt,
                       corrected: Iterable[Tuple[np.ndarray, np.ndarray]],
                       short_reads: Optional[list] = None,
-                      read_ids: Optional[list] = None):
+                      read_ids: Optional[list] = None,
+                      prebuilt_cdbg=None):
     """Pass-2 graph from short reads at k2; colors from corrected/helper LRs.
 
     corrected: (codes, qual) pairs from pass 1. Bases below the pass-2
     confidence threshold are masked to N before coloring (Graph.cpp:1806-1814);
-    reads shorter than min_len_2nd_pass are skipped.
+    reads shorter than min_len_2nd_pass are skipped. prebuilt_cdbg reuses the
+    k2 graph already built for pass-1 edge rescue.
     """
     if short_reads is None:
         short_reads, read_ids, _ = load_short_reads(opt)
     k = opt.k
-    _log(opt, f"pass 2: building cDBG k={k}")
-    cdbg = B.build_cdbg(short_reads, k, min_count=opt.min_count_kmer)
+    if prebuilt_cdbg is not None:
+        cdbg = prebuilt_cdbg
+    else:
+        _log(opt, f"pass 2: building cDBG k={k}")
+        cdbg = B.build_cdbg(short_reads, k, min_count=opt.min_count_kmer)
     _log(opt, f"pass 2: {cdbg.n_unitigs} unitigs, {cdbg.index.n} k-mers")
     color_reads: List[np.ndarray] = []
     min_q = 33 + int(opt.min_confidence_2nd_pass * opt.max_qual)
@@ -288,12 +309,14 @@ def run_correct(opt: CorrectOpt) -> None:
         rescue_unmapped(opt, short_reads, read_ids, read_names)
     hap = load_hap(opt, read_ids, read_names)
 
+    cdbg2_pre = None
     if not opt.pass2_only:
         if opt.filename_graph_in:
             cdbg, colors = GIO.load_index(opt.filename_graph_in)
             _log(opt, f"pass 1: loaded index {opt.filename_graph_in}")
         else:
             cdbg, colors = build_pass1_index(opt, short_reads, read_ids)
+            cdbg2_pre = rescue_edges_pass1(opt, cdbg, colors, short_reads)
         o1 = _pass_opt(opt, 1)
         corr = Corrector(cdbg, colors, o1, hap=hap,
                          snps=_detect_snps(opt, cdbg, colors))
@@ -314,7 +337,8 @@ def run_correct(opt: CorrectOpt) -> None:
     if opt.filename_graph_in and opt.pass2_only:
         cdbg2, colors2 = GIO.load_index(opt.filename_graph_in)
     else:
-        cdbg2, colors2 = build_pass2_index(opt, corrected, short_reads, read_ids)
+        cdbg2, colors2 = build_pass2_index(opt, corrected, short_reads,
+                                           read_ids, prebuilt_cdbg=cdbg2_pre)
     o2 = _pass_opt(opt, 2)
     corr2 = Corrector(cdbg2, colors2, o2, hap=hap,
                       snps=_detect_snps(opt, cdbg2, colors2))
@@ -335,6 +359,7 @@ def run_index(opt: CorrectOpt) -> None:
     rescue_unmapped(opt, short_reads, read_ids, read_names)
     if opt.pass1_only or not opt.pass2_only:
         cdbg, colors = build_pass1_index(opt, short_reads, read_ids)
+        rescue_edges_pass1(opt, cdbg, colors, short_reads)
         path = GIO.index_path(prefix, opt.small_k)
         GIO.save_index(path, cdbg, colors)
         _log(opt, f"wrote {path}")

@@ -68,3 +68,35 @@ def test_sharded_lookup_matches_replicated():
     np.testing.assert_array_equal(
         np.asarray(strand)[hit],
         np.asarray(cdbg.index.strand)[rows[hit]].astype(np.int32))
+
+
+def test_sharded_lookup_two_word_k63():
+    """k=63 (two-word keys) shards the same way — the pass-2 index is the
+    one that actually outgrows a single chip's HBM."""
+    rng = np.random.default_rng(801)
+    genome = sim.random_genome(rng, 20000)
+    cdbg = B.build_cdbg([genome], 63, min_count=1)
+    assert cdbg.index.two_word
+    mesh = M.make_mesh(8)
+    sidx = ShardedKmerIndex(cdbg.index, mesh)
+
+    read = genome[3000:5000]
+    ka, _ = KeyArray.from_codes(read, 63)
+    can, _ = ka.canonical()
+    rng2 = np.random.default_rng(2)
+    absent_lo = rng2.integers(0, 2 ** 63, size=300).astype(np.uint64)
+    absent_hi = rng2.integers(0, 2 ** 61, size=300).astype(np.uint64)
+    q_lo = np.concatenate([can.lo, absent_lo])
+    q_hi = np.concatenate([can.hi, absent_hi])
+
+    uid, pos, strand = sidx.lookup(jnp.asarray(q_lo), jnp.asarray(q_hi))
+    rows = KI.lookup(cdbg.index.to_device(), jnp.asarray(q_lo),
+                     jnp.asarray(q_hi))
+    rows = np.asarray(rows)
+    hit = rows >= 0
+    assert hit.sum() >= len(can.lo) - 1
+    np.testing.assert_array_equal(np.asarray(uid) >= 0, hit)
+    np.testing.assert_array_equal(np.asarray(uid)[hit],
+                                  np.asarray(cdbg.index.unitig_id)[rows[hit]])
+    np.testing.assert_array_equal(np.asarray(pos)[hit],
+                                  np.asarray(cdbg.index.pos)[rows[hit]])
