@@ -395,8 +395,21 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
     # (|colors(successor) ∩ region colors| >= min_cov,
     # GraphTraversal.cpp:485-489, via hashed-signature dot)
     sel_sig = g.color_sig[jnp.maximum(new_tip >> 1, 0)]      # [R, B, H]
-    shared = CS.intersect_count_sig(sel_sig, rb.colors_sig[:, None, :], jnp)
-    wshared = CS.intersect_count_sig(sel_sig, rb.colors_wsig[:, None, :], jnp)
+    shared_raw = CS.intersect_count_sig(sel_sig, rb.colors_sig[:, None, :],
+                                        jnp)
+    wshared_raw = CS.intersect_count_sig(sel_sig, rb.colors_wsig[:, None, :],
+                                         jnp)
+    # collision-bias correction: two UNRELATED sets still overlap
+    # ~pop(u)*mass(region)/bins signature bins (tests/test_signature_accuracy
+    # measured 100% false >= min_cov support at card 128 without this) —
+    # subtract the expectation so the filter/score center on the true count
+    H = sel_sig.shape[-1]
+    pop_u = sel_sig.astype(jnp.float32).sum(-1)              # [R, B]
+    mass = rb.colors_sig.astype(jnp.float32).sum(-1)         # [R]
+    wmass = rb.colors_wsig.astype(jnp.float32).sum(-1)
+    shared = shared_raw.astype(jnp.float32) - pop_u * mass[:, None] / H
+    wshared = jnp.maximum(
+        wshared_raw.astype(jnp.float32) - pop_u * wmass[:, None] / H, 0.0)
     # k2-rescued edges bypass the color filter (long-k context certifies the
     # junction, addCoverage phase 7) and score at least min_cov
     new_live = new_live & (~sel_branch | new_compl | sel_rescued
