@@ -61,7 +61,7 @@ def test_false_support_rate_at_min_cov():
     universe = 100_000
     n = 2000
     H = CS.SIG_BINS
-    for card, raw_bound, corr_bound in ((32, 0.75, 0.10), (128, 1.01, 0.55)):
+    for card, raw_bound, corr_bound in ((32, 0.75, 0.15), (128, 1.01, 0.55)):
         a = _rand_rows(rng, n, card, universe)
         b = _rand_rows(rng, n, card, universe)
         exact = CS.intersect_count(a, b, np)
