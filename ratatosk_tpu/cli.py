@@ -70,6 +70,10 @@ def _add_common(p: argparse.ArgumentParser, correct_mode: bool) -> None:
     p.add_argument("--spill-bytes", type=int, default=None,
                    help="spill sorted color pairs to disk past this many "
                         "bytes (the reference's 4 GB PairID spill)")
+    p.add_argument("--trace-json", default=None,
+                   help="append structured JSONL telemetry events here")
+    p.add_argument("--shard-retries", type=int, default=1,
+                   help="distributed: per-shard retry budget before aborting")
 
 
 def _build_opt(args, index_mode: bool) -> CorrectOpt:
@@ -108,6 +112,8 @@ def _build_opt(args, index_mode: bool) -> CorrectOpt:
         batch_regions=args.batch_regions,
         auto_subsample=args.auto_subsample,
         spill_bytes=args.spill_bytes,
+        trace_json=args.trace_json,
+        shard_retries=args.shard_retries,
     )
     if opt.pass1_only and opt.pass2_only:
         raise SystemExit("-1 and -2 are mutually exclusive (Ratatosk.cpp:402-411)")

@@ -63,6 +63,11 @@ class CorrectOpt:
     # spill sorted (unitig, read) pair chunks to disk past this many bytes
     # (the reference's 4 GB PairID spill, Common.hpp:136); None = in-memory
     spill_bytes: Optional[int] = None
+    # structured JSONL telemetry (ratatosk_tpu/trace.py); None = off
+    trace_json: Optional[str] = None
+    # distributed per-shard retry budget + checkpointed resume
+    # (Ratatosk_nf/nextflow.config:63-82 maxRetries analog)
+    shard_retries: int = 1
     no_snp_correction: bool = False    # -F: disable SNP detection/handling
     fix_snps: bool = False             # -f: resolve leftover IUPAC against
                                        # the graph in pass 2 (fixSNPs,
@@ -81,13 +86,15 @@ class CorrectOpt:
     # open (head/tail) regions have no right anchor to certify a path; accept
     # the beam's walk only when it matches the raw target this well (1 - edit
     # rate). A true correction sits near the read's error rate (~0.85-0.9);
-    # a wrong repeat walk scores far below 0.5.
-    min_score_open_region: float = 0.5
+    # a wrong repeat walk scores far below 0.5. Defaults calibrated against
+    # ground truth (docs/gates.md): raising to 0.6/0.5 cut residual error
+    # ~27% with no loss of corrected coverage.
+    min_score_open_region: float = 0.6
     # a COMPLETED (anchor-certified) path must still resemble the raw span:
     # a wrong-locus leg through a repeat completes at the right anchor but
     # diverges from the read almost everywhere; true legs sit near the
     # read's error rate (~0.85+ at 10-15% error)
-    min_score_closed_region: float = 0.4
+    min_score_closed_region: float = 0.5
     # weak (1-edit) seed waypoints inside long anchor-free spans (the
     # reference's masked inexact re-search + semi-weak path hops,
     # Graph.cpp:100-196, Correction.cpp:3-157)

@@ -183,7 +183,7 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
     R, B = st.tip.shape
     W = st.rwin.shape[-1]
     nt1 = rb.tgt_masks.shape[-1] + 1
-    k = g.k
+    k = g.kval    # traced scalar: kernels are shared across k (passes)
 
     uid = jnp.maximum(st.tip >> 1, 0)
     d = st.tip & 1

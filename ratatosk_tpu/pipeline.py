@@ -26,6 +26,7 @@ from ratatosk_tpu.graph import build as B
 from ratatosk_tpu.graph import io as GIO
 from ratatosk_tpu.graph.colors import GraphColors, color_graph
 from ratatosk_tpu.io import fastx
+from ratatosk_tpu import trace as TR
 
 
 def _log(opt: CorrectOpt, msg: str) -> None:
@@ -156,6 +157,9 @@ def rescue_edges_pass1(opt: CorrectOpt, cdbg, colors,
                            min_cov=opt.min_cov_vertices)
     _log(opt, f"pass 1: rescued {n} low-coverage edges from the k{opt.k} "
               f"graph ({time.time() - t0:.1f}s)")
+    tr = TR.make(opt.trace_json)
+    tr.event("rescue", edges=n, secs=round(time.time() - t0, 3))
+    tr.close()
     return cdbg2
 
 
@@ -214,6 +218,8 @@ def correct_file(corrector: Corrector, opt: CorrectOpt, in_paths: List[str],
     n_reads = n_bases = 0
     writer = fastx.FastqWriter(out_path, trim_qual=trim_qual, min_len=opt.k)
     n_rephased = 0
+    tracer = TR.make(opt.trace_json)
+    t_pass0 = time.time()
 
     def batches():
         nonlocal n_rephased
@@ -248,12 +254,18 @@ def correct_file(corrector: Corrector, opt: CorrectOpt, in_paths: List[str],
 
     def emit(names, results):
         nonlocal n_reads, n_bases
+        nb = 0
         for name, cr in zip(names, results):
             if opt.fix_snps and pass_no == 2:
                 corrector.resolve_iupac(cr)   # fixSNPs, Alignment.cpp:846-965
             writer.write(name, cr.codes, cr.qual, cr.iupac)
             n_reads += 1
-            n_bases += len(cr.codes)
+            nb += len(cr.codes)
+        n_bases += nb
+        tracer.event("batch", pass_no=pass_no, reads=len(names), bases=nb,
+                     plan_s=round(corrector.timers["plan"], 3),
+                     launch_s=round(corrector.timers["launch"], 3),
+                     finish_s=round(corrector.timers["finish"], 3))
 
     def plan(batch):
         reads, quals_b, names = batch
@@ -289,6 +301,9 @@ def correct_file(corrector: Corrector, opt: CorrectOpt, in_paths: List[str],
             emit(names, corrector.assemble_batch(reads_np, quals, plans,
                                                  regions))
     writer.close()
+    tracer.event("pass_done", pass_no=pass_no, reads=n_reads, bases=n_bases,
+                 secs=round(time.time() - t_pass0, 3))
+    tracer.close()
     if raw_reads is not None:
         _log(opt, f"pass 2: rephased {n_rephased} segments (-L)")
     return n_reads, n_bases
@@ -381,6 +396,9 @@ def _detect_snps(opt: CorrectOpt, cdbg, colors):
     from ratatosk_tpu.graph import snp as SNP
     ann = SNP.detect_snps(cdbg, colors)
     _log(opt, f"SNP candidates: {ann.n_sites} annotated sites")
+    tr = TR.make(opt.trace_json)
+    tr.event("snp", sites=ann.n_sites)
+    tr.close()
     return ann
 
 
