@@ -59,6 +59,20 @@ def _flank_uids(runs, start: int, step: int, pos_lo: int, pos_hi: int,
     return out
 
 
+def _u30(colors, u: int) -> frozenset:
+    """First FLANK_COV ids of a unitig's row, cached (static per run)."""
+    cache = getattr(colors, "_u30_cache", None)
+    if cache is None:
+        cache = {}
+        colors._u30_cache = cache
+    got = cache.get(u)
+    if got is None:
+        r = colors.rows[u][:FLANK_COV]
+        got = frozenset(int(x) for x in r[r != CS.PAD])
+        cache[u] = got
+    return got
+
+
 def choose_region_colors(runs, li: Optional[int], ri: Optional[int],
                          raw_a: int, raw_b: int, colors, branching: np.ndarray,
                          insert_sz: int, cap: Optional[int] = None,
@@ -72,27 +86,27 @@ def choose_region_colors(runs, li: Optional[int], ri: Optional[int],
     Unitigs at repeat coverage (km_cov >= max_km_cov) contribute no colors
     (Correction.cpp:487,509,532,554 gate on getKmerCoverage < max_km_cov).
     Returns (row [cap] sorted PAD-padded, weights [cap] int8).
+
+    Hot planner path: set algebra over cached <=FLANK_COV-id frozensets —
+    Python set ops on small sets are ~5x cheaper than the many tiny
+    np.unique/isin/intersect1d calls they replace.
     """
     cap = cap or colors.cap
-    rows = colors.rows
 
-    def uni(uids: List[int]) -> np.ndarray:
-        if km_cov is not None:
-            uids = [u for u in uids if km_cov[u] < max_km_cov]
-        if not uids:
-            return np.zeros(0, dtype=np.int32)
-        parts = [rows[u][:FLANK_COV] for u in set(uids)]
-        ids = np.unique(np.concatenate(parts))
-        return ids[ids != CS.PAD]
+    def uni(uids) -> set:
+        out: set = set()
+        for u in set(uids):
+            if km_cov is None or km_cov[u] < max_km_cov:
+                out |= _u30(colors, u)
+        return out
 
     anchor_uids = [runs[i].uid for i in (li, ri) if i is not None]
     in_region = uni(anchor_uids)
-    if in_region.size == 0 and anchor_uids:
+    if not in_region and anchor_uids:
         # both anchors at repeat coverage: keep their colors anyway — an
         # empty region color set would kill every beam branch
-        parts = [rows[u][:FLANK_COV] for u in set(anchor_uids)]
-        ids = np.unique(np.concatenate(parts))
-        in_region = ids[ids != CS.PAD]
+        for u in set(anchor_uids):
+            in_region |= _u30(colors, u)
 
     left_uids = (_flank_uids(runs, li - 1, -1, raw_a - insert_sz, raw_a,
                              branching) if li is not None and li > 0 else [])
@@ -101,34 +115,34 @@ def choose_region_colors(runs, li: Optional[int], ri: Optional[int],
                   if ri is not None and ri + 1 < len(runs) else [])
     left_ids = uni(left_uids)
     right_ids = uni(right_uids)
-    # all id arrays here are sorted-unique (np.unique output) —
-    # assume_unique skips the redundant internal sorts (hot planner path)
-    both = np.intersect1d(left_ids, right_ids, assume_unique=True)
-    one_side = np.setdiff1d(np.union1d(left_ids, right_ids), both,
-                            assume_unique=True)
-    nb_uids = [u for u in left_uids + right_uids if not branching[u]]
-    nb_ids = uni(nb_uids)
-    one_nb = np.intersect1d(one_side, nb_ids, assume_unique=True)
-    one_br = np.setdiff1d(one_side, one_nb, assume_unique=True)
+    both = left_ids & right_ids
+    one_side = (left_ids | right_ids) - both
+    nb_ids = uni([u for u in left_uids + right_uids if not branching[u]])
+    one_nb = one_side & nb_ids
+    one_br = one_side - one_nb
 
-    row = np.full(cap, CS.PAD, dtype=np.int32)
-    wts = np.zeros(cap, dtype=np.int8)
     # weighted class: reads of non-branching unitigs (incl. non-branching
     # anchors); weight = 2 * max(n_unweighted / n_weighted, 1), saturated
-    anchors_nb = uni([u for u in anchor_uids if not branching[u]])
-    weighted_ids = np.union1d(nb_ids, anchors_nb)
-    n = 0
+    weighted_ids = nb_ids | uni([u for u in anchor_uids if not branching[u]])
+
+    taken: list = []
+    seen: set = set()
     for ids in (in_region, both, one_nb, one_br):
-        take = ids[~np.isin(ids, row[:n], assume_unique=True)][:cap - n]
-        row[n:n + len(take)] = take
-        n += len(take)
-        if n >= cap:
+        for x in sorted(ids):
+            if x not in seen:
+                seen.add(x)
+                taken.append(x)
+                if len(taken) >= cap:
+                    break
+        if len(taken) >= cap:
             break
-    n_w = int(np.isin(row[:n], weighted_ids).sum())
+    n = len(taken)
+    n_w = sum(1 for x in taken if x in weighted_ids)
     n_u = n - n_w
     w_hi = min(2 * max(n_u // max(n_w, 1), 1), 8)
-    order = np.argsort(row, kind="stable")
-    row = row[order]
-    is_w = np.isin(row, weighted_ids) & (row != CS.PAD)
-    wts = np.where(row == CS.PAD, 0, np.where(is_w, w_hi, 1)).astype(np.int8)
+    taken.sort()
+    row = np.full(cap, CS.PAD, dtype=np.int32)
+    wts = np.zeros(cap, dtype=np.int8)
+    row[:n] = taken
+    wts[:n] = [w_hi if x in weighted_ids else 1 for x in taken]
     return row, wts

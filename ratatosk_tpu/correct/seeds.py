@@ -597,9 +597,17 @@ def select_waypoints(seeds: List[SolidRun], colors: GraphColors,
     if not seeds:
         return []
     uids = np.array([s.uid for s in seeds])
-    shared = CS.intersect_count(colors.rows[uids],
-                                np.broadcast_to(flank_rows, (len(uids),) +
-                                                flank_rows.shape), np)
+    # one flat searchsorted against the (single) flank row beats the
+    # generic row-wise binary search (hot planner path)
+    fl = flank_rows[flank_rows != CS.PAD]
+    rowsu = colors.rows[uids]
+    if fl.size:
+        pos = np.searchsorted(fl, rowsu.ravel())
+        hit = (pos < fl.size) & (fl[np.minimum(pos, fl.size - 1)]
+                                 == rowsu.ravel()) & (rowsu.ravel() != CS.PAD)
+        shared = hit.reshape(rowsu.shape).sum(axis=1)
+    else:
+        shared = np.zeros(len(uids), dtype=np.int64)
     out = []
     last = lo
     for s, sh in zip(seeds, shared):
