@@ -63,6 +63,9 @@ def _add_common(p: argparse.ArgumentParser, correct_mode: bool) -> None:
     # TPU-specific knobs
     p.add_argument("--beam-width", type=int, default=16)
     p.add_argument("--batch-regions", type=int, default=64)
+    p.add_argument("--devices", type=int, default=0,
+                   help="local devices to drive (0 = all): region batches "
+                        "shard over a data-axis mesh across them")
     p.add_argument("--auto-subsample", action="store_true",
                    help="coverage-stratified color subsampling when estimated "
                         "coverage >= 10 (addCoverage phase 5); off by default "
@@ -110,6 +113,7 @@ def _build_opt(args, index_mode: bool) -> CorrectOpt:
         index_only=index_mode,
         beam_width=args.beam_width,
         batch_regions=args.batch_regions,
+        n_devices=args.devices,
         auto_subsample=args.auto_subsample,
         spill_bytes=args.spill_bytes,
         trace_json=args.trace_json,

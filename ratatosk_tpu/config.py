@@ -114,6 +114,11 @@ class CorrectOpt:
     # when it holds at least this many keys; below it, replicate per device
     # (the reference replicates its index per node, Ratatosk.nf:280)
     shard_index_min_keys: int = 1 << 27
+    # local devices driven by one process: 0 = all visible devices, 1 =
+    # single-device. With >1 the region batches shard over a data-axis Mesh
+    # (parallel/mesh.py) — the per-node fan-out of the reference's 32-way
+    # worker pool (Ratatosk_nf/Ratatosk.nf:139-164)
+    n_devices: int = 0
     read_batch_bp: int = 1 << 20  # ~1MB of read data per host batch (Common.hpp:138)
     min_count_kmer: int = 2       # k-mers need >=2 occurrences from reads (Bifrost contract)
     # pass 2 skips regions whose (pass-1) quality is already maximal

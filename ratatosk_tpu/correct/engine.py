@@ -23,6 +23,7 @@ import time as _time
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ratatosk_tpu import dna
@@ -45,6 +46,22 @@ from ratatosk_tpu.ops import colorset as CS
 # regions padded into a wide bucket add no steps (chunks are length-sorted).
 # 5376 covers pass-2's max_len_weak_region2=5000 (Common.hpp:132).
 BUCKETS = (256, 2048, 5376)
+
+
+def _beam_finish(g, rb, qv_max, min_k, *, beam, lmax, min_cov, band, w,
+                 min_score_open):
+    """Beam search + chained finish bundle as ONE traced computation: one
+    dispatch per launch, and one jit boundary to attach out_shardings to in
+    the multi-device path."""
+    res = BM.beam_search(g, rb, beam=beam, lmax=lmax, min_cov=min_cov,
+                         band=band)
+    return FN.finish_bundle(rb.tgt_masks, rb.tgt_len, rb.tgt_qual, qv_max,
+                            min_k, res, w=w, min_score_open=min_score_open)
+
+
+_BEAM_FINISH_STATICS = ("beam", "lmax", "min_cov", "band", "w",
+                       "min_score_open")
+_beam_finish_jit = jax.jit(_beam_finish, static_argnames=_BEAM_FINISH_STATICS)
 
 
 def make_region_batch(specs: List["RegionSpec"], nt: int, color_cap: int, *,
@@ -195,6 +212,23 @@ class Corrector:
             from ratatosk_tpu.parallel.sharded_index import ShardedKmerIndex
             self.sharded = ShardedKmerIndex(cdbg.index, mesh)
         self.g = DeviceGraph.from_host(cdbg, colors)
+        # multi-device execution (the production fan-out, VERDICT r3 #1):
+        # with a >1-device mesh the graph replicates across it and every
+        # region batch shards over the data axis (parallel/mesh.py) — the
+        # reference's per-node 32-way parallelism (Ratatosk.nf:139-164)
+        self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
+        self._beam_finish = _beam_finish_jit
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ratatosk_tpu.parallel import mesh as M
+            self.g = M.replicate_graph(self.g, self.mesh)
+            # explicit out_shardings: the winner-reconstruction scatter defeats
+            # GSPMD's propagation (it replicates best_seq), so pin the leading
+            # region axis of both outputs to the data axis
+            out_sh = NamedSharding(self.mesh, P(M.DATA_AXIS, None))
+            self._beam_finish = jax.jit(
+                _beam_finish, static_argnames=_BEAM_FINISH_STATICS,
+                out_shardings=FN.FinishOut(scalars=out_sh, seq_packed=out_sh))
         self.nk = cdbg.nkmers
         self.branching = branching_mask(colors.edge_support)
         # repeat-coverage exclusion threshold (getMaxKmerCoverage,
@@ -640,21 +674,26 @@ class Corrector:
         R = len(specs)
         Rp = max(self.opt.batch_regions,
                  1 << int(np.ceil(np.log2(max(R, 1)))))
+        if self.mesh is not None:
+            nd = self.mesh.devices.size
+            Rp = ((Rp + nd - 1) // nd) * nd
         rb, lmax = make_region_batch(
             specs, nt, self.colors.cap, mirrored=mirrored, r_pad=Rp,
             len_factor=self.opt.weak_region_len_factor)
+        if self.mesh is not None:
+            from ratatosk_tpu.parallel import mesh as M
+            rb = M.shard_regions(rb, self.mesh)
         # band must absorb the path-vs-read indel drift, which grows with
         # region length (~2-3% of NT at ONT error rates) — scale it
         band = 0 if nt <= 256 else max(self.opt.band_width, nt // 16)
-        res = BM.beam_search(self.g, rb, beam=beam or self.opt.beam_width,
-                             lmax=lmax, min_cov=self.opt.min_cov_vertices,
-                             band=band)
-        # chain ALL per-region finish math on device (correct/finish.py):
-        # the tunnel costs ~25ms per transfer/dispatch, so the whole launch
-        # ships back as exactly two arrays (decision scalars + packed paths)
-        fin = FN.finish_bundle(
-            rb.tgt_masks, rb.tgt_len, rb.tgt_qual, jnp.int32(self.qv_max),
-            jnp.int32(self.cdbg.k), res, w=band,
+        # beam + ALL per-region finish math chained in ONE device dispatch
+        # (correct/finish.py): the tunnel costs ~25ms per transfer/dispatch,
+        # so the whole launch ships back as exactly two arrays (decision
+        # scalars + packed paths)
+        fin = self._beam_finish(
+            self.g, rb, jnp.int32(self.qv_max), jnp.int32(self.cdbg.k),
+            beam=beam or self.opt.beam_width, lmax=lmax,
+            min_cov=self.opt.min_cov_vertices, band=band, w=band,
             min_score_open=self.opt.min_score_open_region)
         return fin, lmax
 

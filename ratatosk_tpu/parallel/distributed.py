@@ -189,8 +189,11 @@ def run_distributed_correct(opt, coordinator=None, num_processes=None,
         if opt.filename_graph_in or pid != 0:
             cdbg, colors = GIO.load_index(idx1)
         o1 = pipeline._pass_opt(opt, 1)
+        # each host also fans out over its own local devices (mesh of local
+        # chips — the reference's per-node 32-way pool inside each SLURM job)
         corr = Corrector(cdbg, colors, o1, hap=hap,
-                         snps=pipeline._detect_snps(opt, cdbg, colors))
+                         snps=pipeline._detect_snps(opt, cdbg, colors),
+                         mesh=pipeline.local_mesh(opt))
         recs = list(fastx.read_many(
             pipeline._expand_file_lists(opt.filename_long_in)))
         a, b = shard_records(len(recs), pid, n)
@@ -234,7 +237,8 @@ def run_distributed_correct(opt, coordinator=None, num_processes=None,
         cdbg2, colors2 = GIO.load_index(idx2)
     o2 = pipeline._pass_opt(opt, 2)
     corr2 = Corrector(cdbg2, colors2, o2, hap=hap,
-                      snps=pipeline._detect_snps(opt, cdbg2, colors2))
+                      snps=pipeline._detect_snps(opt, cdbg2, colors2),
+                      mesh=pipeline.local_mesh(opt))
     raw_reads = None
     if opt.filenames_long_raw:
         raw_reads = {rec.name: rec.codes for rec in fastx.read_many(

@@ -34,6 +34,24 @@ def _log(opt: CorrectOpt, msg: str) -> None:
         print(f"[ratatosk_tpu] {msg}", file=sys.stderr, flush=True)
 
 
+def local_mesh(opt: CorrectOpt):
+    """Data-axis mesh over this process's local devices (None when only one
+    is in play). The production multi-chip path: every Corrector built by the
+    pipeline shards its region batches over this mesh, the per-node fan-out
+    of the reference's 32-way worker pool (Ratatosk_nf/Ratatosk.nf:139-164)."""
+    if opt.n_devices == 1:
+        return None
+    import jax
+    from ratatosk_tpu.parallel import mesh as M
+    devs = jax.local_devices()
+    if opt.n_devices > 1:
+        devs = devs[:opt.n_devices]
+    if len(devs) <= 1:
+        return None
+    _log(opt, f"mesh: sharding region batches over {len(devs)} local devices")
+    return M.make_mesh(devices=devs)
+
+
 def _expand_file_lists(paths: List[str]) -> List[str]:
     """A non-FASTA/FASTQ input is a list file: one path per line
     (reference Common.cpp:396-493 check_files indirection)."""
@@ -323,6 +341,7 @@ def run_correct(opt: CorrectOpt) -> None:
         short_reads, read_ids, read_names = load_short_reads(opt)
         rescue_unmapped(opt, short_reads, read_ids, read_names)
     hap = load_hap(opt, read_ids, read_names)
+    mesh = local_mesh(opt)
 
     cdbg2_pre = None
     if not opt.pass2_only:
@@ -334,7 +353,7 @@ def run_correct(opt: CorrectOpt) -> None:
             cdbg2_pre = rescue_edges_pass1(opt, cdbg, colors, short_reads)
         o1 = _pass_opt(opt, 1)
         corr = Corrector(cdbg, colors, o1, hap=hap,
-                         snps=_detect_snps(opt, cdbg, colors))
+                         snps=_detect_snps(opt, cdbg, colors), mesh=mesh)
         out = pass1_out if not opt.pass1_only else final_out
         n, bp = correct_file(corr, o1, opt.filename_long_in, out, 1,
                              trim_qual=opt.trim_qual if opt.pass1_only else 0)
@@ -356,7 +375,7 @@ def run_correct(opt: CorrectOpt) -> None:
                                            read_ids, prebuilt_cdbg=cdbg2_pre)
     o2 = _pass_opt(opt, 2)
     corr2 = Corrector(cdbg2, colors2, o2, hap=hap,
-                      snps=_detect_snps(opt, cdbg2, colors2))
+                      snps=_detect_snps(opt, cdbg2, colors2), mesh=mesh)
     raw_reads = None
     if opt.filenames_long_raw:
         raw_reads = {rec.name: rec.codes for rec in
