@@ -82,6 +82,10 @@ class BeamState(NamedTuple):
     tip: jnp.ndarray     # int32 [R, B]
     off: jnp.ndarray     # int32 [R, B]
     plen: jnp.ndarray    # int32 [R, B]
+    # path length of the region's live entries (all live entries share it);
+    # regions advance at their own pace once sprint steps emit several bases
+    # per outer step, so the band window tracks pcount, not the loop index
+    pcount: jnp.ndarray  # int32 [R]
     # completion scoreboard (per region): every candidate that arrives at the
     # right anchor state is captured here — arrivals do NOT consume the entry
     # when the anchor is cyclic, so paths with more repeat copies keep
@@ -92,13 +96,19 @@ class BeamState(NamedTuple):
     cplen: jnp.ndarray   # int32 [R] path length of that arrival
     csecond: jnp.ndarray  # int32 [R] runner-up completed distance
     cnum: jnp.ndarray    # int32 [R] number of arrivals captured
-    # emitted bases are NOT materialized per entry: each step records
-    # (parent slot, base, emitted?) per surviving slot in a [LMAX, R, B]
-    # history, and only the winner's path is reconstructed after the loop —
-    # the O(R*B*L) sequence-copy matmul per step was the beam's dominant
-    # FLOP term for long buckets
-    hist: jnp.ndarray    # uint16 [LMAX, R, B]: bits0-1 base, bit2 emitted,
-                         # bits3+ parent slot index
+    # sprint bases of the best arrival's parent slot (they precede the
+    # arrival base and may be absent from hist if the candidate lost the
+    # rank cut): packed 2-bit bases + count, seeded during reconstruction
+    csbits: jnp.ndarray  # int32 [R]
+    cscnt: jnp.ndarray   # int32 [R]
+    # emitted bases are NOT materialized per entry: each outer step records
+    # (parent slot, branch base, sprint bases) per surviving slot in a
+    # [LMAX, R, B] history, and only the winner's path is reconstructed
+    # after the loop — the O(R*B*L) sequence-copy matmul per step was the
+    # beam's dominant FLOP term for long buckets
+    hist: jnp.ndarray    # int32 [LMAX, R, B]: bits0-1 branch base,
+                         # bit2 emitted, bits3-9 parent slot,
+                         # bits10-12 sprint count, bits13-26 sprint bases
     rwin: jnp.ndarray    # int32 [R, B, W] DP-row band at window ws(step)
     btgt: jnp.ndarray    # uint8 [R, W] target masks at window ws(step),
                          # carried incrementally: ws advances by <=1 per step,
@@ -129,8 +139,8 @@ class BeamResult(NamedTuple):
 
 
 def _window_start(i, tgt_len, nt1: int, w: int):
-    """Band start column at step i: int32 [R], shared by a region's entries
-    (all live entries carry plen == i).
+    """Band start column at path length i (scalar, [R] or [R, S]), shared by
+    a region's entries (all live entries carry plen == pcount_r).
 
     The upper clip is PER REGION (tl+1-w, not the bucket's nt1-w): once the
     path outruns the target the window must stall covering the target's tail,
@@ -139,7 +149,8 @@ def _window_start(i, tgt_len, nt1: int, w: int):
     held when NT ~= tl — i.e. it silently required one bucket per length.
     """
     if w >= nt1:
-        return jnp.zeros(tgt_len.shape, jnp.int32)
+        shape = jnp.broadcast_shapes(jnp.shape(i), jnp.shape(tgt_len))
+        return jnp.zeros(shape, jnp.int32)
     hi = jnp.maximum(tgt_len + 1 - w, 0)
     return jnp.clip(i - w // 2, 0, hi).astype(jnp.int32)
 
@@ -178,17 +189,121 @@ def _band_dists_from_d(dmat, cols, tgt_len):
     return dist_pref, end_max, jnp.minimum(dist_nw, BIG)
 
 
+def _sprint_advance(g: DeviceGraph, rb: RegionBatch, padded_tgt,
+                    st: BeamState, rec, smax: int):
+    """Advance each region by up to smax-1 deterministic mid-unitig bases.
+
+    Between branch points every live entry's next base is determined by its
+    unitig (one successor, no selection, no freezing), so the expensive
+    branch step — candidate scoring, rank selection, scoreboard — only needs
+    to run when something can actually happen. The per-region stride s_r is
+    capped so no event (unitig boundary, right-anchor arrival, path-budget
+    freeze) can occur inside the sprint: s_r-1 bases advance here, and the
+    following branch step emits base s_r and handles the event. This is the
+    TPU answer to the reference's per-base DFS stack walk
+    (exploreSubGraph, GraphTraversal.cpp:456-720): the graph walk stays
+    per-base, but all deterministic stretches collapse into vectorized
+    multi-row band-DP updates.
+
+    Returns (state', sbits [R,B], scnt [R,B]) — the packed sprint bases and
+    counts, recorded into hist by the branch step.
+    """
+    R, B = st.tip.shape
+    W = st.rwin.shape[-1]
+    nt1 = rb.tgt_masks.shape[-1] + 1
+    zero_bits = jnp.zeros((R, B), jnp.int32)
+    if smax <= 1:
+        return st, zero_bits, zero_bits
+    d = st.tip & 1
+    ul = rec[..., 4]
+    uo = rec[..., 5]
+    live = st.live & ~st.frozen
+
+    # per-entry sprint cap: stay strictly before the boundary branch, the
+    # anchor arrival and the budget freeze (INF for non-live entries)
+    inf = jnp.int32(1 << 28)
+    d_bound = ul - st.off + 1
+    on_end = ((rb.end_tip[:, None] >= 0)
+              & (st.tip == rb.end_tip[:, None])
+              & (st.off < rb.end_off[:, None]))
+    d_arr = jnp.where(on_end, rb.end_off[:, None] - st.off, inf)
+    d_budget = rb.max_plen[:, None] - st.plen
+    s_ent = jnp.minimum(jnp.minimum(d_bound, d_arr), d_budget)
+    s_ent = jnp.where(live, s_ent, inf)
+    has_live = live.any(axis=1)
+    m_reg = jnp.clip(jnp.where(has_live, jnp.min(s_ent, axis=1) - 1, 0),
+                     0, smax - 1)                           # [R] sprint bases
+    m_max = jnp.max(m_reg)
+
+    # pre-gather the next smax-1 oriented bases per entry (a contiguous run
+    # on the unitig) and the target-mask columns the windows will expose —
+    # ONE gather each per outer step instead of one per emitted base
+    j_i = jnp.arange(smax - 1, dtype=jnp.int32)
+    pos = jnp.where(d[..., None] == 0, st.off[..., None] + j_i,
+                    ul[..., None] - 1 - (st.off[..., None] + j_i))
+    pos = jnp.clip(pos, 0, jnp.maximum(ul[..., None] - 1, 0))
+    nb_all = g.useq[uo[..., None] + pos].astype(jnp.int32)
+    nb_all = jnp.where(d[..., None] == 0, nb_all, 3 - nb_all)  # [R,B,smax-1]
+    ws_j = _window_start(st.pcount[:, None] + j_i[None, :] + 1,
+                         rb.tgt_len[:, None], nt1, W)          # [R, smax-1]
+    fetch_j = jnp.minimum(ws_j + (W - 1), nt1 - 1)
+    newcols = jnp.take_along_axis(
+        jnp.broadcast_to(padded_tgt, (R, nt1)), fetch_j, axis=1
+    ).astype(st.btgt.dtype)                                    # [R, smax-1]
+
+    cols0 = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    def body(j, carry):
+        rwin, btgt, off, plen, pcount, sbits = carry
+        adv_r = j < m_reg                                      # [R]
+        adv = live & adv_r[:, None]                            # [R, B]
+        ws_cur = _window_start(pcount, rb.tgt_len, nt1, W)
+        ws_nxt = _window_start(pcount + 1, rb.tgt_len, nt1, W)
+        delta = (ws_nxt - ws_cur)[:, None]                     # [R, 1]
+        newcol = jax.lax.dynamic_slice_in_dim(newcols, j, 1, axis=1)
+        shifted = jnp.concatenate([btgt[:, 1:], newcol], axis=1)
+        shift_r = (delta[:, 0] == 1) & adv_r
+        btgt_n = jnp.where(shift_r[:, None], shifted, btgt)
+        delta3 = delta[..., None]
+        shiftL = jnp.concatenate(
+            [rwin[..., 1:], jnp.full_like(rwin[..., :1], BIG)], axis=-1)
+        shiftR = jnp.concatenate(
+            [jnp.full_like(rwin[..., :1], BIG), rwin[..., :-1]], axis=-1)
+        prev_j = jnp.where(delta3 == 1, shiftL, rwin)
+        prev_jm1 = jnp.where(delta3 == 1, rwin, shiftR)
+        base = jax.lax.dynamic_slice_in_dim(nb_all, j, 1, axis=2)[..., 0]
+        cols = ws_nxt[:, None] + cols0                         # [R, W]
+        sub = (((jnp.int32(1) << base)[..., None]
+                & btgt_n[:, None, :].astype(jnp.int32)) == 0).astype(jnp.int32)
+        dd = jnp.minimum(prev_jm1 + sub, prev_j + 1)
+        dd = jnp.where(cols[:, None, :] == 0, (plen + 1)[..., None], dd)
+        dd = jnp.minimum(dd, BIG)
+        ee = cols[:, None, :] + jax.lax.cummin(dd - cols[:, None, :], axis=2)
+        ee = jnp.minimum(ee, BIG)
+        return (jnp.where(adv[..., None], ee, rwin), btgt_n,
+                off + adv.astype(jnp.int32), plen + adv.astype(jnp.int32),
+                pcount + adv_r.astype(jnp.int32),
+                jnp.where(adv, sbits | (base << (2 * j)), sbits))
+
+    rwin, btgt, off, plen, pcount, sbits = jax.lax.fori_loop(
+        0, m_max, body,
+        (st.rwin, st.btgt, st.off, st.plen, st.pcount, zero_bits))
+    scnt = jnp.where(live, m_reg[:, None], 0).astype(jnp.int32)
+    return (st._replace(rwin=rwin, btgt=btgt, off=off, plen=plen,
+                        pcount=pcount),
+            sbits, scnt)
+
+
 def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
-               min_cov: int):
+               min_cov: int, rec, sbits, scnt):
     R, B = st.tip.shape
     W = st.rwin.shape[-1]
     nt1 = rb.tgt_masks.shape[-1] + 1
     k = g.kval    # traced scalar: kernels are shared across k (passes)
 
-    uid = jnp.maximum(st.tip >> 1, 0)
     d = st.tip & 1
-    # one fused gather per step: successors (support pre-folded), ulen, uoff
-    rec = g.utbl[uid, d]                   # [R, B, 6]
+    # successor record gathered once per outer step (sprint keeps entries on
+    # their unitig, so the pre-sprint gather is still valid here)
     e_raw = rec[..., :4]                   # -1 = absent OR not read-supported
     # bit 30 marks edges rescued by the k2 graph (graphdev.from_host):
     # exempt from the color branch filter below
@@ -242,11 +357,11 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
         arrive & ~rb.end_cyclic[:, None, None])
 
     # --- banded DP candidate scoring (no prefix-min scan here) ---
-    # every live entry of a region has plen == i, so the band window start is
-    # one scalar per region; new row i+1 sits at window ws(i+1), shifted by
-    # delta in {0,1} vs ws(i)
-    ws = _window_start(i, rb.tgt_len, nt1, W)                # [R]
-    ws_next = _window_start(i + 1, rb.tgt_len, nt1, W)       # [R]
+    # every live entry of a region has plen == pcount_r, so the band window
+    # start is one scalar per region; new row pcount+1 sits at window
+    # ws(pcount+1), shifted by delta in {0,1} vs ws(pcount)
+    ws = _window_start(st.pcount, rb.tgt_len, nt1, W)            # [R]
+    ws_next = _window_start(st.pcount + 1, rb.tgt_len, nt1, W)   # [R]
     delta = (ws_next - ws)[:, None, None]                    # [R,1,1]
     cols = ws_next[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]  # [R,W]
     # advance the carried target window: fetch only the newly-exposed column.
@@ -303,6 +418,10 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
     new_ccand = jnp.where(take_new, a1, st.ccand).astype(jnp.int32)
     new_cplen = jnp.where(take_new, plen_at, st.cplen).astype(jnp.int32)
     new_cnum = st.cnum + (arr_d < BIG).sum(axis=1).astype(jnp.int32)
+    # the arrival's sprint bases live on its parent slot (pre-selection —
+    # the candidate may lose the rank cut and be absent from hist)
+    new_csbits = jnp.where(take_new, sbits[ar_r, a1 >> 2], st.csbits)
+    new_cscnt = jnp.where(take_new, scnt[ar_r, a1 >> 2], st.cscnt)
     # non-emitting (keep) slots: stats of the parent's current row, which
     # lives at window ws(i)
     cols_prev = ws[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
@@ -344,6 +463,8 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
 
     cand_rescued = cand_branch & e_resc
     cand_cmin = jnp.broadcast_to(st.cmin[..., None], (R, B, 4))
+    cand_sbits = jnp.broadcast_to(sbits[..., None], (R, B, 4))
+    cand_scnt = jnp.broadcast_to(scnt[..., None], (R, B, 4))
     scalars = jnp.stack([
         cand_tip.astype(jnp.float32),
         cand_off.astype(jnp.float32),
@@ -359,7 +480,9 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
         valid.astype(jnp.float32),
         cand_rescued.astype(jnp.float32),
         cand_cmin.astype(jnp.float32),
-    ], axis=-1).reshape(R, C, 14)
+        cand_sbits.astype(jnp.float32),   # < 2^14: exact in f32
+        cand_scnt.astype(jnp.float32),
+    ], axis=-1).reshape(R, C, 16)
     # precision=HIGHEST is LOAD-BEARING on every einsum that moves integer
     # state: TPU matmuls default to bf16 multiplication, which silently
     # rounds any value > 256 (off 1113 -> 1112, plen 257 -> 256). A rounded
@@ -387,6 +510,8 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
     new_live = selected[..., 11] > 0.5
     sel_rescued = selected[..., 12] > 0.5
     sel_cmin = selected[..., 13].astype(jnp.int32)
+    sel_sbits = (selected[..., 14] + 0.5).astype(jnp.int32)
+    sel_scnt = (selected[..., 15] + 0.5).astype(jnp.int32)
     sel_score = jnp.einsum("rbc,rc->rb", P, fscore, precision=HI,
                            preferred_element_type=jnp.float32)
     new_live = new_live & (sel_score > NEG / 2)
@@ -437,9 +562,12 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
                        precision=HI, preferred_element_type=jnp.float32)
     sel_par = jnp.einsum("rbc,c->rb", P, (carange >> 2).astype(jnp.float32),
                          precision=HI, preferred_element_type=jnp.float32)
+    # layout: base(2) | emitted(1) | parent(7) | sprint count(3) | bases(14)
     hrec = ((sel_c + 0.5).astype(jnp.int32)
             | (sel_emit.astype(jnp.int32) << 2)
-            | ((sel_par + 0.5).astype(jnp.int32) << 3)).astype(jnp.uint16)
+            | ((sel_par + 0.5).astype(jnp.int32) << 3)
+            | (sel_scnt << 10)
+            | (sel_sbits << 13)).astype(jnp.int32)
     zero = jnp.zeros((), i.dtype)
     hist_new = jax.lax.dynamic_update_slice(st.hist, hrec[None],
                                             (i, zero, zero))
@@ -469,10 +597,14 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
     e_sel = jnp.minimum(e_sel, BIG)
     new_rwin_sel = jnp.where(sel_emit[..., None], e_sel, rwin_par)
 
+    # regions advance one base whenever anything emitted this step; fully
+    # frozen regions stall (their stale windows are never read again)
+    new_pcount = st.pcount + emits.any(axis=(1, 2)).astype(jnp.int32)
     return BeamState(
-        tip=new_tip, off=new_off, plen=new_plen,
+        tip=new_tip, off=new_off, plen=new_plen, pcount=new_pcount,
         cbest=new_cbest, cstep=new_cstep, ccand=new_ccand,
         cplen=new_cplen, csecond=new_csecond, cnum=new_cnum,
+        csbits=new_csbits, cscnt=new_cscnt,
         hist=hist_new, rwin=new_rwin_sel, btgt=bslice,
         live=new_live, cmin=new_cmin, frozen=new_frozen, compl_=new_compl,
         fdist=new_fdist, fend=new_fend,
@@ -480,10 +612,18 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("beam", "lmax", "min_cov", "band"))
+@functools.partial(jax.jit,
+                   static_argnames=("beam", "lmax", "min_cov", "band",
+                                    "sprint"))
 def beam_search(g: DeviceGraph, rb: RegionBatch, *, beam: int, lmax: int,
-                min_cov: int = 2, band: int = 0) -> BeamResult:
-    """band=0 (or >= NT+1) means exact full-row DP; otherwise a W-wide band."""
+                min_cov: int = 2, band: int = 0,
+                sprint: int = 8) -> BeamResult:
+    """band=0 (or >= NT+1) means exact full-row DP; otherwise a W-wide band.
+
+    sprint: max bases an outer step advances per region (1 branch step plus
+    up to sprint-1 deterministic mid-unitig bases, _sprint_advance). sprint=1
+    reproduces the one-base-per-step schedule exactly."""
+    assert 1 <= sprint <= 8, "sprint bases must fit the 14-bit hist field"
     R, NT = rb.tgt_masks.shape
     W = NT + 1 if band <= 0 or band >= NT + 1 else band
     slot0 = jnp.broadcast_to(jnp.arange(beam)[None, :] == 0, (R, beam))
@@ -498,13 +638,16 @@ def beam_search(g: DeviceGraph, rb: RegionBatch, *, beam: int, lmax: int,
         tip=jnp.where(slot0, rb.start_tip[:, None], -1).astype(jnp.int32),
         off=jnp.broadcast_to(rb.start_off[:, None], (R, beam)).astype(jnp.int32),
         plen=jnp.zeros((R, beam), jnp.int32),
+        pcount=jnp.zeros((R,), jnp.int32),
         cbest=jnp.full((R,), BIG, jnp.int32),
         cstep=jnp.zeros((R,), jnp.int32),
         ccand=jnp.zeros((R,), jnp.int32),
         cplen=jnp.zeros((R,), jnp.int32),
         csecond=jnp.full((R,), BIG, jnp.int32),
         cnum=jnp.zeros((R,), jnp.int32),
-        hist=jnp.zeros((lmax, R, beam), jnp.uint16),
+        csbits=jnp.zeros((R,), jnp.int32),
+        cscnt=jnp.zeros((R,), jnp.int32),
+        hist=jnp.zeros((lmax, R, beam), jnp.int32),
         rwin=rwin0,
         btgt=padded_tgt[:, :W],
         live=slot0,
@@ -525,7 +668,11 @@ def beam_search(g: DeviceGraph, rb: RegionBatch, *, beam: int, lmax: int,
 
     def body(carry):
         i, s = carry
-        return i + 1, _beam_step(g, rb, padded_tgt, s, i, min_cov)
+        uid = jnp.maximum(s.tip >> 1, 0)
+        rec = g.utbl[uid, s.tip & 1]       # [R, B, 6] (shared by both phases)
+        s, sbits, scnt = _sprint_advance(g, rb, padded_tgt, s, rec, sprint)
+        return i + 1, _beam_step(g, rb, padded_tgt, s, i, min_cov, rec,
+                                 sbits, scnt)
 
     T, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
 
@@ -567,12 +714,20 @@ def beam_search(g: DeviceGraph, rb: RegionBatch, *, beam: int, lmax: int,
 
     start_idx = jnp.where(has_c, st.cstep - 1, T - 1)
     cur0 = jnp.where(has_c, st.ccand >> 2, b0).astype(jnp.int32)
-    rem0 = jnp.where(has_c, st.cplen - 1, blen_fb).astype(jnp.int32)
+    # the arrival step's bases are seeded directly: the branch base from the
+    # scoreboard candidate, preceded by its parent slot's sprint bases (both
+    # may be absent from hist if the candidate lost the rank cut)
+    rem0 = jnp.where(has_c, st.cplen - 1 - st.cscnt, blen_fb).astype(jnp.int32)
     seq0 = jnp.zeros((R, lmax), jnp.uint8)
     seed_pos = jnp.clip(st.cplen - 1, 0, lmax - 1)
     seq0 = seq0.at[ar, seed_pos].set(
         jnp.where(has_c & (st.cplen > 0), (st.ccand & 3).astype(jnp.uint8),
                   seq0[ar, seed_pos]))
+    for jj in range(sprint - 1):
+        p = jnp.clip(st.cplen - 1 - st.cscnt + jj, 0, lmax - 1)
+        m = has_c & (jj < st.cscnt)
+        b = ((st.csbits >> (2 * jj)) & 3).astype(jnp.uint8)
+        seq0 = seq0.at[ar, p].set(jnp.where(m, b, seq0[ar, p]))
 
     def recon_body(carry):
         idx, cur, rem, seq = carry
@@ -586,7 +741,16 @@ def beam_search(g: DeviceGraph, rb: RegionBatch, *, beam: int, lmax: int,
         base = (hsel & 3).astype(jnp.uint8)
         seq = seq.at[ar, pos].set(jnp.where(emit, base, seq[ar, pos]))
         rem = (rem - emit.astype(jnp.int32)).astype(jnp.int32)
-        cur = jnp.where(act, hsel >> 3, cur).astype(jnp.int32)
+        # sprint bases precede the branch base: written backward
+        hscnt = jnp.where(act, (hsel >> 10) & 7, 0)
+        hsbits = (hsel >> 13) & 0x3FFF
+        for jj in range(sprint - 1):
+            m = (jj < hscnt) & (rem > 0)
+            b = ((hsbits >> (2 * (hscnt - 1 - jj))) & 3).astype(jnp.uint8)
+            pos = jnp.maximum(rem - 1, 0)
+            seq = seq.at[ar, pos].set(jnp.where(m, b, seq[ar, pos]))
+            rem = (rem - m.astype(jnp.int32)).astype(jnp.int32)
+        cur = jnp.where(act, (hsel >> 3) & 127, cur).astype(jnp.int32)
         return idx - 1, cur, rem, seq
 
     _, _, _, best_seq = jax.lax.while_loop(
