@@ -190,7 +190,7 @@ def _band_dists_from_d(dmat, cols, tgt_len):
 
 
 def _sprint_advance(g: DeviceGraph, rb: RegionBatch, padded_tgt,
-                    st: BeamState, rec, smax: int):
+                    st: BeamState, rec, smax: int, impl: str = "auto"):
     """Advance each region by up to smax-1 deterministic mid-unitig bases.
 
     Between branch points every live entry's next base is determined by its
@@ -244,12 +244,35 @@ def _sprint_advance(g: DeviceGraph, rb: RegionBatch, padded_tgt,
     pos = jnp.clip(pos, 0, jnp.maximum(ul[..., None] - 1, 0))
     nb_all = g.useq[uo[..., None] + pos].astype(jnp.int32)
     nb_all = jnp.where(d[..., None] == 0, nb_all, 3 - nb_all)  # [R,B,smax-1]
-    ws_j = _window_start(st.pcount[:, None] + j_i[None, :] + 1,
-                         rb.tgt_len[:, None], nt1, W)          # [R, smax-1]
-    fetch_j = jnp.minimum(ws_j + (W - 1), nt1 - 1)
+    # window starts at path lengths pcount..pcount+smax-1 (substep j moves
+    # the window ws(pcount+j) -> ws(pcount+j+1))
+    wsall = _window_start(st.pcount[:, None] + jnp.arange(smax)[None, :],
+                          rb.tgt_len[:, None], nt1, W)         # [R, smax]
+    fetch_j = jnp.minimum(wsall[:, 1:] + (W - 1), nt1 - 1)
     newcols = jnp.take_along_axis(
         jnp.broadcast_to(padded_tgt, (R, nt1)), fetch_j, axis=1
     ).astype(st.btgt.dtype)                                    # [R, smax-1]
+
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl.startswith("pallas"):
+        # fused VMEM-resident inner loop (ops/sprint_pallas.py): the whole
+        # sprint costs one HBM read+write of the band state instead of ~8
+        # materialized [R,B,W] passes per substep
+        from ratatosk_tpu.ops.sprint_pallas import sprint_rows
+        livem = live.astype(jnp.int32)
+        rwin_n, btgt_n = sprint_rows(
+            st.rwin, st.btgt.astype(jnp.int32), nb_all,
+            newcols.astype(jnp.int32), wsall, m_reg, livem, st.plen,
+            smax=smax, interpret=impl == "pallas_interpret")
+        adv_n = livem * m_reg[:, None]
+        jmask = (j_i[None, None, :] < m_reg[:, None, None]) & live[..., None]
+        sbits = jnp.where(jmask, nb_all << (2 * j_i), 0).sum(axis=-1)
+        scnt = jnp.where(live, m_reg[:, None], 0).astype(jnp.int32)
+        return (st._replace(rwin=rwin_n, btgt=btgt_n.astype(st.btgt.dtype),
+                            off=st.off + adv_n, plen=st.plen + adv_n,
+                            pcount=st.pcount + m_reg),
+                sbits.astype(jnp.int32), scnt)
 
     cols0 = jnp.arange(W, dtype=jnp.int32)[None, :]
 
@@ -614,10 +637,10 @@ def _beam_step(g: DeviceGraph, rb: RegionBatch, padded_tgt, st: BeamState, i,
 
 @functools.partial(jax.jit,
                    static_argnames=("beam", "lmax", "min_cov", "band",
-                                    "sprint"))
+                                    "sprint", "sprint_impl"))
 def beam_search(g: DeviceGraph, rb: RegionBatch, *, beam: int, lmax: int,
                 min_cov: int = 2, band: int = 0,
-                sprint: int = 8) -> BeamResult:
+                sprint: int = 8, sprint_impl: str = "auto") -> BeamResult:
     """band=0 (or >= NT+1) means exact full-row DP; otherwise a W-wide band.
 
     sprint: max bases an outer step advances per region (1 branch step plus
@@ -670,7 +693,8 @@ def beam_search(g: DeviceGraph, rb: RegionBatch, *, beam: int, lmax: int,
         i, s = carry
         uid = jnp.maximum(s.tip >> 1, 0)
         rec = g.utbl[uid, s.tip & 1]       # [R, B, 6] (shared by both phases)
-        s, sbits, scnt = _sprint_advance(g, rb, padded_tgt, s, rec, sprint)
+        s, sbits, scnt = _sprint_advance(g, rb, padded_tgt, s, rec, sprint,
+                                         impl=sprint_impl)
         return i + 1, _beam_step(g, rb, padded_tgt, s, i, min_cov, rec,
                                  sbits, scnt)
 

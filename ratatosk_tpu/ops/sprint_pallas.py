@@ -1,0 +1,142 @@
+"""Pallas TPU kernel: the sprint banded-DP inner loop of the beam search.
+
+The beam's sprint phase (correct/beam.py:_sprint_advance) advances every
+region by up to smax-1 deterministic mid-unitig bases per outer step. In XLA
+each substep materializes several [R, B, W] intermediates to HBM (~8 passes
+over the carried DP band per emitted base); this kernel keeps a region
+block's band rows and target-mask window resident in VMEM across ALL
+substeps, so the whole sprint costs one HBM read + one write of the state —
+the BASELINE north star's "banded alignment inner loop" Pallas kernel.
+
+The DP is the E-transformed banded edit distance carried by the beam
+(E[i][j] = j + min_{l<=j}(D[i][l]-l), edlib's band reshaped for SPMD): per
+substep a row update (diag/up mins) followed by a prefix-min along the band,
+implemented as a log2(W) Hillis-Steele doubling scan on the VPU.
+
+Semantics are pinned bit-identical to the XLA fori-loop fallback by
+tests/test_sprint_pallas.py (interpret mode on CPU, compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# plain Python ints: jnp scalars would be captured constants inside the kernel
+BIG = 1 << 20
+_INF = 1 << 28
+
+
+def _clip01(x):
+    """clip(x, 0, 1) with explicit int32 bounds: jnp.clip's weak python-int
+    bounds become i64 scalars under jax_enable_x64, and Mosaic's i64->i32
+    convert lowering recurses infinitely."""
+    return jnp.minimum(jnp.maximum(x, jnp.int32(0)), jnp.int32(1))
+
+
+def _kernel(rwin_ref, btgt_ref, nb_ref, newcols_ref, wsall_ref, mreg_ref,
+            live_ref, plen_ref, rwin_out, btgt_out, *, smax: int, w: int):
+    S1 = smax - 1
+    rwin = rwin_ref[:]            # [RB, B, W] int32
+    btgt = btgt_ref[:]            # [RB, W]    int32 (4-bit masks)
+    mreg = mreg_ref[:]            # [RB, 1]
+    live = live_ref[:]            # [RB, B]
+    plen0 = plen_ref[:]           # [RB, B]
+    RB, B, W = rwin.shape
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (RB, W), 1)
+
+    # Mosaic-friendly masking: every mask stays int32 arithmetic — i1
+    # vectors can neither be cast to i32 (infinite-recursion lowering) nor
+    # get minor dims inserted, so bool tensors appear only as direct
+    # operands of selects at full rank.
+    for j in range(S1):
+        adv_r = _clip01(mreg - j)                     # [RB, 1] int32
+        ws_n = wsall_ref[:, j + 1][:, None]           # [RB, 1]
+        delta = ws_n - wsall_ref[:, j][:, None]
+        # slide the target-mask window by the newly exposed column
+        rolledb = jnp.concatenate(
+            [btgt[:, 1:], newcols_ref[:, j][:, None]], axis=1)
+        shf = delta * adv_r                           # [RB, 1] int32 0/1
+        btgt = btgt + shf * (rolledb - btgt)
+        # band row update: diag/up mins at window ws(j+1)
+        shiftL = jnp.concatenate(
+            [rwin[..., 1:], jnp.full((RB, B, 1), BIG, jnp.int32)], axis=-1)
+        shiftR = jnp.concatenate(
+            [jnp.full((RB, B, 1), BIG, jnp.int32), rwin[..., :-1]], axis=-1)
+        d3 = delta[..., None]                         # [RB, 1, 1] int32 0/1
+        prev_j = rwin + d3 * (shiftL - rwin)
+        prev_jm1 = shiftR + d3 * (rwin - shiftR)
+        base = nb_ref[:, :, j]                        # [RB, B]
+        hit = (jnp.int32(1) << base)[..., None] & btgt[:, None, :]
+        sub = 1 - _clip01(hit)                        # [RB, B, W] int32
+        cols = (ws_n + lane2)[:, None, :]             # [RB, 1, W]
+        dd = jnp.minimum(prev_jm1 + sub, prev_j + 1)
+        bnd = 1 - _clip01(cols)                       # 1 at column 0
+        dd = dd + bnd * ((plen0 + j + 1)[..., None] - dd)
+        dd = jnp.minimum(dd, BIG)
+        # prefix-min along the band (Hillis-Steele doubling)
+        t = dd - cols
+        s = 1
+        while s < w:
+            rolled = jnp.concatenate(
+                [jnp.full((RB, B, s), _INF, jnp.int32), t[..., :-s]], axis=-1)
+            t = jnp.minimum(t, rolled)
+            s <<= 1
+        ee = jnp.minimum(cols + t, BIG)
+        adv = (live * adv_r)[..., None]               # [RB, B, 1] int32 0/1
+        rwin = rwin + adv * (ee - rwin)
+
+    rwin_out[:] = rwin
+    btgt_out[:] = btgt
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("smax", "interpret", "block_r"))
+def sprint_rows(rwin, btgt, nb_all, newcols, wsall, m_reg, live, plen, *,
+                smax: int, interpret: bool = False, block_r: int = 64):
+    """Run smax-1 masked band-row updates entirely in VMEM.
+
+    rwin [R,B,W] int32; btgt [R,W] int32 masks; nb_all [R,B,smax-1] int32
+    bases; newcols [R,smax-1] int32; wsall [R,smax] int32 window starts at
+    path lengths pcount+j; m_reg [R] int32 sprint emissions per region;
+    live [R,B] int32; plen [R,B] int32. Returns (rwin', btgt').
+    """
+    R, B, W = rwin.shape
+    RB = min(block_r, R)
+    Rp = ((R + RB - 1) // RB) * RB
+    if Rp != R:
+        pad = [(0, Rp - R)]
+        rwin = jnp.pad(rwin, pad + [(0, 0), (0, 0)])
+        btgt = jnp.pad(btgt, pad + [(0, 0)])
+        nb_all = jnp.pad(nb_all, pad + [(0, 0), (0, 0)])
+        newcols = jnp.pad(newcols, pad + [(0, 0)])
+        wsall = jnp.pad(wsall, pad + [(0, 0)])
+        m_reg = jnp.pad(m_reg, pad)     # 0 => padded regions stay inert
+        live = jnp.pad(live, pad + [(0, 0)])
+        plen = jnp.pad(plen, pad + [(0, 0)])
+    grid = (Rp // RB,)
+
+    def row_spec(*shape):
+        # zeros derived from i stay i32 — literal 0s become i64 constants
+        # under jax_enable_x64 and Mosaic rejects the i64 index tuple
+        return pl.BlockSpec((RB,) + shape,
+                            lambda i: (i,) + tuple(i * 0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, smax=smax, w=W),
+        grid=grid,
+        in_specs=[row_spec(B, W), row_spec(W), row_spec(B, smax - 1),
+                  row_spec(smax - 1), row_spec(smax), row_spec(1),
+                  row_spec(B), row_spec(B)],
+        out_specs=(row_spec(B, W), row_spec(W)),
+        out_shape=(jax.ShapeDtypeStruct((Rp, B, W), jnp.int32),
+                   jax.ShapeDtypeStruct((Rp, W), jnp.int32)),
+        interpret=interpret,
+    )(rwin, btgt, nb_all, newcols, wsall, m_reg[:, None], live, plen)
+    rwin_n, btgt_n = out
+    return rwin_n[:R], btgt_n[:R]
