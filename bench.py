@@ -40,8 +40,24 @@ def log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+PHASES = {}
+_t_last = [time.time()]
+
+
+def phase(name: str) -> None:
+    """Close the previous wall-clock phase and open `name` (full-wall
+    accounting: the phases sum to ~total wall, VERDICT r3 weak #3)."""
+    now = time.time()
+    if PHASES or name != "_init":
+        prev = getattr(phase, "_cur", "startup")
+        PHASES[prev] = PHASES.get(prev, 0.0) + now - _t_last[0]
+    phase._cur = name
+    _t_last[0] = now
+
+
 def main() -> None:
     t_all = time.time()
+    phase("imports")
     from ratatosk_tpu import dna, testing
     from ratatosk_tpu.config import CorrectOpt
     from ratatosk_tpu.correct.engine import Corrector
@@ -63,6 +79,7 @@ def main() -> None:
         repeat_frac, repeat_len = 0.15, 250
     read_len = 4000
 
+    phase("simulate")
     rng = np.random.default_rng(1234)
     log(f"simulating genome={glen}bp (repeats {repeat_frac:.0%} x "
         f"{repeat_len}bp), {n_reads} long reads x {read_len}bp, "
@@ -92,6 +109,7 @@ def main() -> None:
     warm_thread = threading.Thread(target=prewarm, daemon=True)
     warm_thread.start()
 
+    phase("p1_graph_build")
     log("building pass-1 colored cDBG k=31 (host, untimed index step; "
         "kernel compiles overlap in background)")
     t0 = time.time()
@@ -100,8 +118,10 @@ def main() -> None:
     log(f"pass-1 graph: {cdbg.n_unitigs} unitigs, {cdbg.index.n} k-mers "
         f"({time.time() - t0:.1f}s)")
     warm_thread.join()
+    phase("p1_corrector_init")
     corr1 = Corrector(cdbg, colors, o1)
 
+    phase("simulate_long_reads")
     tmpdir = tempfile.mkdtemp(prefix="rtpu_bench_")
     lr_path = os.path.join(tmpdir, "long.fq")
     total_bases = 0
@@ -115,6 +135,7 @@ def main() -> None:
 
     # warm up: compile all bucket shapes concurrently, then run a small slice
     # so the steady path (native libs, planner caches) is hot too
+    phase("p1_warmup")
     log("pass-1 warmup (compiles bucket kernels concurrently)")
     t0 = time.time()
     corr1.warmup_compile()
@@ -127,6 +148,7 @@ def main() -> None:
     warm1 = time.time() - t0
     log(f"pass-1 warmup done ({warm1:.1f}s)")
 
+    phase("p1_timed")
     corr1.timers = {k: 0.0 for k in corr1.timers}
     t0 = time.time()
     n1, bp1 = correct_file(corr1, o1, [lr_path], p1_path, 1)
@@ -135,6 +157,7 @@ def main() -> None:
         f"({total_bases / t_pass1:.0f} b/s); breakdown: "
         + ", ".join(f"{k}={v:.2f}s" for k, v in corr1.timers.items()))
 
+    phase("p2_graph_build")
     log("building pass-2 cDBG k=63 colored by pass-1 output (untimed)")
     t0 = time.time()
     cdbg2, colors2 = build_pass2_index(
@@ -142,10 +165,12 @@ def main() -> None:
         sreads, list(range(len(sreads))))
     log(f"pass-2 graph: {cdbg2.n_unitigs} unitigs, {cdbg2.index.n} k-mers "
         f"({time.time() - t0:.1f}s)")
+    phase("p2_corrector_init")
     o2 = _pass_opt(opt, 2)
     corr2 = Corrector(cdbg2, colors2, o2)
     p2_path = os.path.join(tmpdir, "out.fastq")
 
+    phase("p2_warmup")
     log("pass-2 warmup")
     t0 = time.time()
     corr2.warmup_compile()
@@ -157,6 +182,7 @@ def main() -> None:
     warm2 = time.time() - t0
     log(f"pass-2 warmup done ({warm2:.1f}s)")
 
+    phase("p2_timed")
     corr2.timers = {k: 0.0 for k in corr2.timers}
     t0 = time.time()
     n2, bp2 = correct_file(corr2, o2, [p1_path], p2_path, 2)
@@ -164,8 +190,14 @@ def main() -> None:
     log(f"pass-2: {t_pass2:.2f}s; breakdown: "
         + ", ".join(f"{k}={v:.2f}s" for k, v in corr2.timers.items()))
 
+    phase("end")
     dt = t_pass1 + t_pass2
     bps = total_bases / dt
+    wall = time.time() - t_all
+    acc = sum(PHASES.values())
+    log("wall breakdown: " + ", ".join(
+        f"{k}={v:.1f}s" for k, v in PHASES.items())
+        + f"; phases sum {acc:.1f}s of {wall:.1f}s wall")
     log(f"corrected {total_bases} bases through 2 passes in {dt:.2f}s -> "
         f"{bps:.0f} bases/s (output {bp2} bases); warmup {warm1 + warm2:.1f}s; "
         f"total wall {time.time() - t_all:.1f}s")
@@ -175,6 +207,9 @@ def main() -> None:
         "value": round(bps, 1),
         "unit": "bases/s",
         "vs_baseline": round(bps / BASELINE_BASES_PER_SEC, 3),
+        "phases_s": {k: round(v, 1) for k, v in PHASES.items()},
+        "pass1_s": round(t_pass1, 1), "pass2_s": round(t_pass2, 1),
+        "total_wall_s": round(time.time() - t_all, 1),
     }))
 
 

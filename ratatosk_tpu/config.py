@@ -120,6 +120,11 @@ class CorrectOpt:
     # worker pool (Ratatosk_nf/Ratatosk.nf:139-164)
     n_devices: int = 0
     read_batch_bp: int = 1 << 20  # ~1MB of read data per host batch (Common.hpp:138)
+    # run batch planning (anchor lookup + 1-edit seed probe) as async device
+    # dispatches (ops/plan_device.py) instead of the native host kernels —
+    # the host has few cores while the chip idles during planning. Falls
+    # back to the host path on capacity overflow or in sharded-index mode.
+    plan_on_device: bool = True
     min_count_kmer: int = 2       # k-mers need >=2 occurrences from reads (Bifrost contract)
     # pass 2 skips regions whose (pass-1) quality is already maximal
     # (Correction.cpp:779,808,941); never set for raw sequencer quality

@@ -230,6 +230,13 @@ class Corrector:
                 _beam_finish, static_argnames=_BEAM_FINISH_STATICS,
                 out_shardings=FN.FinishOut(scalars=out_sh, seq_packed=out_sh))
         self.nk = cdbg.nkmers
+        # device batch planner (anchor lookup + 1-edit probe as async device
+        # dispatches, ops/plan_device.py). Mutually exclusive with the
+        # sharded-index mode, which serves lookups range-partitioned instead.
+        self.devplan = None
+        if self.sharded is None and self.opt.plan_on_device:
+            from ratatosk_tpu.ops.plan_device import DevicePlanner
+            self.devplan = DevicePlanner.build(cdbg)
         self.branching = branching_mask(colors.edge_support)
         # repeat-coverage exclusion threshold (getMaxKmerCoverage,
         # Graph.cpp:825-841; Ratatosk.cpp:625): unitigs in the top
@@ -297,7 +304,12 @@ class Corrector:
         """Per-base quality of a corrected region via CIGAR matches."""
         q = np.full(len(seq), 0, dtype=np.uint8)
         margin = 1.0 if (s2 is None or s1 <= 0) else max(1.0 - s2 / s1, 0.0)
-        q_match = self._qual_for(s1)
+        # CIGAR matches use the full quality floor 0, not out_qual
+        # (getScorePath: getQual(score_best, 0, max_qual) for matches vs
+        # getQual(score_comp, out_qual, max_qual) elsewhere,
+        # GraphTraversal.cpp:735,737)
+        q_match = dna.get_qual_char(max(min(s1, 1.0), 0.0), qv_min=0,
+                                    qv_max=self.qv_max)
         q_other = self._qual_for(s1 * margin)
         if len(seq) == 0:
             return q
@@ -410,9 +422,14 @@ class Corrector:
         """
         opt = self.opt
         probe = self._probe()
-        runs_list = [filter_runs_by_color(find_runs(self.cdbg, r, probe=probe),
-                                          self.colors)
-                     for r in reads]
+        runs_raw = None
+        if self.devplan is not None:
+            runs_raw = self.devplan.collect_runs(
+                self.devplan.dispatch_runs(reads))
+        if runs_raw is None:
+            runs_raw = [find_runs(self.cdbg, r, probe=probe) for r in reads]
+        runs_list = [filter_runs_by_color(rr, self.colors)
+                     for rr in runs_raw]
         wps_list: List[List[SolidRun]] = [[] for _ in reads]
         if not opt.use_weak_seeds:
             return runs_list, wps_list
@@ -439,9 +456,16 @@ class Corrector:
         self._max_q = None
         if not requests:
             return runs_list, wps_list
-        seeds_per_span = find_weak_seeds_batch(
-            self.cdbg, reads, [(r[0], r[1], r[2]) for r in requests],
-            stride=opt.weak_seed_stride)
+        spans3 = [(r[0], r[1], r[2]) for r in requests]
+        seeds_per_span = None
+        if self.devplan is not None:
+            seeds_per_span = self.devplan.collect_probe(
+                self.devplan.dispatch_probe(reads, spans3,
+                                            stride=opt.weak_seed_stride,
+                                            near_exact_skip=16))
+        if seeds_per_span is None:
+            seeds_per_span = find_weak_seeds_batch(
+                self.cdbg, reads, spans3, stride=opt.weak_seed_stride)
         for (i, a, b, fl), seeds in zip(requests, seeds_per_span):
             if not seeds:
                 continue

@@ -120,7 +120,7 @@ class FastqWriter:
             self._emit(name, codes, qual, iupac)
             return
         ok = qual >= (33 + self.trim_qual)
-        i, sub = 0, 0
+        i, sub = 0, 1     # sub-read numbering starts at /1 (Ratatosk.cpp:528)
         n = len(codes)
         while i < n:
             if not ok[i]:

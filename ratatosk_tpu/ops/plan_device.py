@@ -1,0 +1,503 @@
+"""Device-side batch planning: exact-anchor runs + 1-edit seed probe on TPU.
+
+Round-3 profiling put the host planner at ~60% of the correction wall on a
+2-core host: native find_runs lookups (~0.6-0.8s/2Mbp batch) and the 1-edit
+seed probe (~2-3.4s/batch) dominate. Both are index lookups — exactly the
+work the north star assigns to the device ("Pallas kernels for hashing /
+lookup"). This module runs them as TWO asynchronous device dispatches per
+read batch against the two-orientation hash-directory index
+(ops/hash_index.py):
+
+- `runs kernel`: every k-window of the concatenated read batch is packed,
+  hash-probed in READ orientation (no canonicalization — the doubled table
+  answers orientation), and chained into maximal colinear runs
+  (correct/seeds.find_runs semantics, Graph.cpp:203-239); runs are compacted
+  on device so the download is O(runs), not O(L).
+- `probe kernel`: the reference's masked inexact re-search
+  (Graph.cpp:100-196 -> searchSequence with 1 substitution/indel), in three
+  phases sized so gather count — the TPU's scarce resource here — stays
+  near its floor:
+    exact: probe every window, derive the near-exact skip mask on device;
+    A: compact the allowed window positions, then lax.scan over edit
+       positions generating each 1-edit variant key by traced 128-bit
+       surgery (ops/u128.py) in FORWARD orientation only, 32-bit-word
+       hashing, and testing the hashed occupancy bitmap — survivors' keys
+       are appended to a bounded buffer (~2-4% survive);
+    B: ONE hash-table probe over the survivor buffer, then scatter-min/max
+       of a packed placement identity (row, rsp-kind, orientation) per
+       window position. A position yields a seed iff it has an exact hit or
+       exactly ONE distinct 1-edit placement — `min == max` of the packed
+       identity is an exact distinct<=1 test, so no per-position hit lists
+       are ever materialized and the download is O(seeds).
+
+Bit-identical to correct/seeds.find_weak_seeds_batch (pinned by
+tests/test_plan_device.py); callers fall back to the host paths when any
+capacity overflows (the kernels report it) or no device planner is built.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ratatosk_tpu.ops import hash_index as HX
+from ratatosk_tpu.ops import kmers as K
+from ratatosk_tpu.ops import u128 as U
+
+_SUB, _DEL, _INS = 0, 1, 2     # rsp codes packed into the placement identity
+_BIG = jnp.int32(0x7FFFFFFF)
+
+
+def _pad_tier(n: int, lo: int = 1 << 16) -> int:
+    t = lo
+    while t < n:
+        t <<= 1
+    return t
+
+
+def _compact_i32(mask, size: int, fill: int):
+    """Positions of set bits, compacted to [size] (ascending, `fill` padded).
+
+    jnp.nonzero(size=...) under jax_enable_x64 runs an i64 cumsum whose
+    emulated u32-pair reduce-window blows the TPU's scoped VMEM; this i32
+    formulation compiles cleanly.
+    """
+    idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    pos = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0)
+    tgt = jnp.where(mask & (idx < size), idx, size)
+    out = jnp.full(size, fill, jnp.int32)
+    return out.at[tgt].set(pos, mode="drop")
+
+
+def _pack_windows(codes, m: int):
+    """(hi, lo, valid) of every m-window; hi is zeros when m <= 32."""
+    packed = K.pack_kmers(codes, m, jnp)
+    if m <= 32:
+        lo, valid = packed
+        return jnp.zeros_like(lo), lo, valid
+    return packed
+
+
+# ---------------------------------------------------------------------------
+# runs kernel
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k", "rcap"))
+def _runs_kernel(codes, hx: HX.HashKmerIndex, nk, *, k: int, rcap: int):
+    L = codes.shape[0]
+    P = L - k + 1
+    whi, wlo, valid = _pack_windows(codes, k)
+    uid, upos, strand, is_fw = HX.probe_upa_raw(
+        hx, wlo, whi if k > 32 else None, valid)
+    hit = uid >= 0
+    direction = jnp.where(is_fw == (strand == 1), 0, 1).astype(jnp.int32)
+    o = jnp.where(direction == 0, upos,
+                  nk[jnp.maximum(uid, 0)] - 1 - upos).astype(jnp.int32)
+    chain = (hit[:-1] & hit[1:] & (uid[:-1] == uid[1:])
+             & (direction[:-1] == direction[1:]) & (o[1:] == o[:-1] + 1))
+    f = jnp.zeros(1, dtype=bool)
+    start = hit & ~jnp.concatenate([f, chain])
+    end = hit & ~jnp.concatenate([chain, f])
+    n = start.sum().astype(jnp.int32)
+    sidx = _compact_i32(start, rcap, P)
+    eidx = _compact_i32(end, rcap, P)
+    safe = jnp.minimum(sidx, P - 1)
+    return (sidx, eidx, uid[safe], direction[safe], o[safe], n)
+
+
+# ---------------------------------------------------------------------------
+# probe kernel
+# ---------------------------------------------------------------------------
+
+def _variant_key(kind: int, k: int, whi, wlo, p):
+    """Forward-orientation 1-edit variant key; p is a traced scalar (or
+    array broadcastable over the window arrays)."""
+    if kind == _SUB:
+        outs = []
+        orig = U.get_base(whi, wlo, k, p)
+        for b in range(4):
+            vh, vl = U.set_base(whi, wlo, k, p, b)
+            outs.append((vh, vl, orig != np.uint64(b)))
+        return outs
+    if kind == _DEL:
+        vh, vl = U.drop_base(whi, wlo, k + 1, p)
+        return [(vh, vl, None)]
+    outs = []
+    for b in range(4):
+        vh, vl = U.insert_base(whi, wlo, k - 1, p, b)
+        outs.append((vh, vl, None))
+    return outs
+
+
+def _scan_side(kind: int, k: int, whi, wlo, qv, pf_tbl, pf_bits,
+               qpos, buf, cnt, of, qcap: int, scap: int, tcap: int,
+               two_word: bool, p_lo: int, p_hi: int):
+    """Append prefilter-surviving variant (key words, concat position, kind)
+    to the survivor buffer, scanning edit positions p in [p_lo, p_hi).
+
+    whi/wlo: m-window packs at one SIDE's qualifying positions [qcap]
+    (pigeonhole: prefix-intact positions scan the tail edit range, suffix-
+    intact positions the head range); qv masks the compaction padding.
+    """
+    nb = 1 if kind == _DEL else 4
+
+    def step(carry, p):
+        buf_w, buf_meta, cnt, of = carry
+        vs = _variant_key(kind, k, whi, wlo, p)
+        kl, ok = [], []
+        for vh, vl, keep in vs:
+            l0, l1 = HX.split64(vl)
+            if two_word:
+                h0, h1 = HX.split64(vh)
+                hh = HX.hash_words(l0, l1, h0, h1)
+                kw = jnp.stack([l0, l1, h0, h1], 1)
+            else:
+                hh = HX.hash_words(l0, l1)
+                kw = jnp.stack([l0, l1], 1)
+            pass_pf = qv & HX.prefilter_test(pf_tbl, pf_bits, hh)
+            if keep is not None:
+                pass_pf = pass_pf & keep
+            kl.append(kw)
+            ok.append(pass_pf)
+        keyw = jnp.stack(kl, 1)                 # [qcap, nb, W]
+        keep = jnp.stack(ok, 1)                 # [qcap, nb]
+        flat = keep.ravel()
+        c = flat.sum().astype(jnp.int32)
+        of = of | (cnt + c > tcap) | (c > scap)
+        sel = _compact_i32(flat, scap, qcap * nb)
+        ssafe = jnp.minimum(sel, qcap * nb - 1)
+        kw_sel = keyw.reshape(qcap * nb, -1)[ssafe]
+        pos_sel = qpos[(ssafe // nb).astype(jnp.int32)]  # concat position
+        valid_sel = sel < qcap * nb
+        tgt = jnp.where(valid_sel,
+                        cnt + jax.lax.broadcasted_iota(jnp.int32,
+                                                       sel.shape, 0),
+                        tcap)
+        buf_w = buf_w.at[tgt].set(kw_sel, mode="drop")
+        meta = (pos_sel << 2) | kind
+        buf_meta = buf_meta.at[tgt].set(meta, mode="drop")
+        return (buf_w, buf_meta, jnp.minimum(cnt + c, tcap), of), None
+
+    (buf_w, buf_meta, cnt, of), _ = jax.lax.scan(
+        step, (buf["w"], buf["meta"], cnt, of),
+        jnp.arange(p_lo, p_hi, dtype=jnp.int32))
+    buf["w"], buf["meta"] = buf_w, buf_meta
+    return buf, cnt, of
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "stride", "nes", "subs", "indels", "pf_bits",
+                     "hf_bits", "qcap", "hcap"))
+def _probe_kernel(codes, sstart, hx: HX.HashKmerIndex, pf_tbl, hf_tbl, *,
+                  k: int, stride: int, nes: int, subs: bool, indels: bool,
+                  pf_bits: int, hf_bits: int, qcap: int, hcap: int):
+    """codes: concat span codes u8 [L] (separator >= 4); sstart: span start
+    concat position per position i32 [L]."""
+    L = codes.shape[0]
+    posL = jnp.arange(L, dtype=jnp.int32)
+    two = hx.two_word
+    h = (k - 1) // 2
+
+    # exact phase: k-windows at every valid position, read orientation
+    whi_L, wlo_L, valid_k = _pack_windows(codes, k)
+    ex_row_p, ex_fw_p, _ = HX.probe_rowflag(
+        hx, wlo_L, whi_L if k > 32 else None, valid_k)
+    P = L - k + 1
+    pad = jnp.full(L - P, -1, jnp.int32)
+    ex_row = jnp.concatenate([ex_row_p, pad])
+    ex_fw = jnp.concatenate([ex_fw_p.astype(jnp.int32),
+                             jnp.zeros(L - P, jnp.int32)])
+
+    # near-exact skip mask over concat positions (windowed OR via cumsum)
+    hitL = (ex_row >= 0).astype(jnp.int32)
+    cs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(hitL)])
+    a = jnp.clip(posL - nes, 0, L)
+    b = jnp.clip(posL + nes + 1, 0, L)
+    skip = (cs[b] - cs[a]) > 0 if nes > 0 else jnp.zeros(L, bool)
+
+    on_stride = ((posL - sstart) % stride == 0) if stride > 1 \
+        else jnp.ones(L, bool)
+    allowed = ~skip & on_stride
+
+    # pigeonhole half filter: one h-window hash-bitmap pass over the concat;
+    # a position qualifies for a kind only if its h-prefix or the kind's
+    # h-suffix exists among the graph keys' halves (hash_index.make_half_bitmap)
+    _, hlo, hvalid = _pack_windows(codes, h)
+    hhit_p = hvalid & HX.prefilter_test(hf_tbl, hf_bits,
+                                        HX.hash_key64(hlo, None, jnp))
+    hhit = jnp.concatenate(
+        [hhit_p, jnp.zeros(L - hhit_p.shape[0], bool)])
+
+    def suf_ok(m):
+        # h-suffix of the m-window at pos starts at pos + m - h
+        idx = jnp.minimum(posL + (m - h), L - 1)
+        return hhit[idx]
+
+    pre_ok = hhit
+
+    kinds = []
+    if subs:
+        kinds.append((_SUB, k))
+    if indels:
+        kinds.append((_DEL, k + 1))
+        kinds.append((_INS, k - 1))
+
+    W = 4 if two else 2
+    # caps: the half filter qualifies ~10-25% of allowed positions on noisy
+    # spans; prefilter survivors are ~1-3% of enumerated variants. Overflow
+    # of any cap -> host fallback (reported via `of`).
+    tcap = qcap * 4
+    scap = max(qcap // 8, 1 << 12)
+    buf = {"w": jnp.zeros((tcap + 1, W), jnp.uint32),
+           "meta": jnp.zeros(tcap + 1, jnp.int32)}
+    cnt = jnp.zeros((), jnp.int32)
+    of = jnp.zeros((), bool)
+    # two pigeonhole sides per kind: prefix-intact positions enumerate the
+    # tail edit range [h, k), suffix-intact ones the head range
+    # [p0, suf_max]; both-flag positions enter both sides (the small
+    # [h, suf_max] overlap re-probes duplicates — harmless for the
+    # min==max distinct test, and rare on noisy spans)
+    hh2 = (k - 1) // 2
+    nq_max = jnp.zeros((), jnp.int32)
+    for kind, m in kinds:
+        wh_m, wl_m, wv_m = _pack_windows(codes, m)
+        Pm = wv_m.shape[0]
+        validm = jnp.concatenate([wv_m, jnp.zeros(L - Pm, bool)])
+        so = suf_ok(m)
+        p0 = 0 if kind == _SUB else 1
+        suf_max = (k - hh2) if kind == _DEL else (k - 1 - hh2)
+        sides = ((pre_ok, max(p0, hh2), k),
+                 (so, p0, suf_max + 1))
+        for flag, p_lo, p_hi in sides:
+            qual = allowed & validm & flag
+            nq = qual.sum().astype(jnp.int32)
+            nq_max = jnp.maximum(nq_max, nq)
+            of = of | (nq > qcap)
+            qpos = _compact_i32(qual, qcap, L)
+            qsafe = jnp.minimum(qpos, Pm - 1)
+            qv = qpos < L
+            buf, cnt, of = _scan_side(
+                kind, k, wh_m[qsafe], wl_m[qsafe], qv, pf_tbl, pf_bits,
+                qpos, buf, cnt, of, qcap, scap, tcap, two, p_lo, p_hi)
+
+    # phase B: one probe over the survivor buffer
+    bw = buf["w"]
+    blo = bw[:, 0].astype(jnp.uint64) | (bw[:, 1].astype(jnp.uint64)
+                                         << np.uint64(32))
+    bhi = (bw[:, 2].astype(jnp.uint64) | (bw[:, 3].astype(jnp.uint64)
+                                          << np.uint64(32))) if two else None
+    tvalid = jax.lax.broadcasted_iota(jnp.int32, (tcap + 1,), 0) < cnt
+    row_b, fw_b, _ = HX.probe_rowflag(hx, blo, bhi, tvalid)
+    kind_b = buf["meta"] & 3
+    pos_b = buf["meta"] >> 2
+    ids = ((row_b * 3 + kind_b) << 1) | fw_b.astype(jnp.int32)
+    tgt = jnp.where(row_b >= 0, pos_b, L)
+    minid = jnp.full(L, _BIG, jnp.int32).at[tgt].min(ids, mode="drop")
+    maxid = jnp.full(L, -_BIG, jnp.int32).at[tgt].max(ids, mode="drop")
+
+    var_ok = (minid != _BIG) & (minid == maxid)
+    varid_L = jnp.where(var_ok, minid, -1)
+
+    outmask = (ex_row >= 0) | var_ok
+    n = outmask.sum().astype(jnp.int32)
+    of = of | (n > hcap)
+    sel = _compact_i32(outmask, hcap, L)
+    safe = jnp.minimum(sel, L - 1)
+    # stats: [n_allowed, max n_qual, survivor cnt, n_seeds] for the host's
+    # adaptive cap tiers
+    stats = jnp.stack([allowed.sum().astype(jnp.int32), nq_max, cnt, n])
+    return (sel, ex_row[safe], ex_fw[safe], varid_L[safe], n, of, stats)
+
+
+# ---------------------------------------------------------------------------
+# host wrapper
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class DevicePlanner:
+    """Per-corrector device planning state (index tables resident in HBM)."""
+
+    k: int
+    hx: HX.HashKmerIndex
+    pf_tbl: jnp.ndarray
+    pf_bits: int
+    hf_tbl: jnp.ndarray
+    hf_bits: int
+    nk_dev: jnp.ndarray
+    # host copies for resolving probe rows to placements
+    uid: np.ndarray
+    upos: np.ndarray
+    strand: np.ndarray
+    nk: np.ndarray
+    n_fallback: int = 0
+    # adaptive qcap ladder: qcap = L // _QTIERS[qtier]. Batches are
+    # homogeneous, so after the first overflow (which falls back to the host
+    # probe once) the bigger tier serves the rest of the run; consistently
+    # low occupancy walks back down (k=63 halves prune ~25x harder than
+    # k=31's, so the right tier differs per pass).
+    qtier: int = 1
+    _low_streak: int = 0
+
+    _QTIERS = (64, 16, 4)
+
+    @staticmethod
+    def build(cdbg) -> "DevicePlanner":
+        hx = HX.HashKmerIndex.build(cdbg.index)
+        pf_tbl, pf_bits = HX.make_prefilter_bitmap(cdbg.index)
+        hf_tbl, hf_bits = HX.make_half_bitmap(cdbg.index, (cdbg.k - 1) // 2)
+        return DevicePlanner(
+            k=cdbg.k, hx=hx, pf_tbl=pf_tbl, pf_bits=pf_bits,
+            hf_tbl=hf_tbl, hf_bits=hf_bits,
+            nk_dev=jnp.asarray(np.asarray(cdbg.nkmers, np.int32)),
+            uid=np.asarray(cdbg.index.unitig_id),
+            upos=np.asarray(cdbg.index.pos),
+            strand=np.asarray(cdbg.index.strand),
+            nk=np.asarray(cdbg.nkmers))
+
+    # ---- runs ----
+
+    def dispatch_runs(self, reads: Sequence[np.ndarray]):
+        """Async device dispatch of find_runs for a whole batch."""
+        k = self.k
+        parts = []
+        offs = []
+        off = 0
+        sep = np.full(1, 4, np.uint8)
+        for r in reads:
+            offs.append(off)
+            parts.append(np.asarray(r, np.uint8))
+            parts.append(sep)
+            off += len(r) + 1
+        concat = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+        L = _pad_tier(max(len(concat), k + 1))
+        codes = np.full(L, 4, np.uint8)
+        codes[:len(concat)] = concat
+        rcap = max(L // 24, 1 << 12)
+        out = _runs_kernel(jnp.asarray(codes), self.hx, self.nk_dev,
+                           k=k, rcap=rcap)
+        return (out, offs, [len(r) for r in reads], rcap)
+
+    def collect_runs(self, handle) -> Optional[List[list]]:
+        """Blocks; returns per-read SolidRun lists (None = overflow)."""
+        from ratatosk_tpu.correct.seeds import SolidRun
+        (sidx, eidx, uid, dirn, o, n), offs, lens, rcap = handle
+        n = int(n)
+        if n > rcap:
+            return None
+        sidx = np.asarray(sidx)[:n]
+        eidx = np.asarray(eidx)[:n]
+        uid = np.asarray(uid)[:n]
+        dirn = np.asarray(dirn)[:n]
+        o = np.asarray(o)[:n]
+        out: List[list] = [[] for _ in offs]
+        offs_arr = np.asarray(offs, np.int64)
+        ri = np.searchsorted(offs_arr, sidx, side="right") - 1
+        rel_s = sidx - offs_arr[ri]
+        rel_e = eidx - offs_arr[ri]
+        for j in range(n):
+            out[int(ri[j])].append(SolidRun(
+                s=int(rel_s[j]), e=int(rel_e[j]), uid=int(uid[j]),
+                direction=int(dirn[j]), o_s=int(o[j])))
+        return out
+
+    # ---- 1-edit probe ----
+
+    def dispatch_probe(self, reads, spans, *, stride: int,
+                       near_exact_skip: int, subs: bool = True,
+                       indels: bool = True):
+        """spans: list of (read_idx, a, b). Async dispatch."""
+        k = self.k
+        parts, starts = [], []
+        off = 0
+        sep = np.full(1, 4, np.uint8)
+        for ri, a, b in spans:
+            seg = np.asarray(reads[ri][a:b], np.uint8)
+            starts.append(off)
+            parts.append(seg)
+            parts.append(sep)
+            off += len(seg) + 1
+        concat = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+        L = _pad_tier(max(len(concat), k + 2))
+        codes = np.full(L, 4, np.uint8)
+        codes[:len(concat)] = concat
+        starts_arr = np.asarray(starts + [L], np.int64)
+        sstart = np.zeros(L, np.int32)
+        for i, s0 in enumerate(starts):
+            sstart[s0:starts_arr[i + 1]] = s0
+        # caps are deterministic in (L, qtier) so each tier compiles once.
+        # qcap bounds each kind's half-filter-qualifying positions; the
+        # ladder escalates on overflow (collect_probe)
+        qcap = min(max(L // self._QTIERS[self.qtier] + 4096, 1 << 12), L)
+        hcap = max(L // 8, 1 << 12)
+        out = _probe_kernel(
+            jnp.asarray(codes), jnp.asarray(sstart), self.hx, self.pf_tbl,
+            self.hf_tbl, k=k, stride=stride, nes=near_exact_skip, subs=subs,
+            indels=indels and k <= 63, pf_bits=self.pf_bits,
+            hf_bits=self.hf_bits, qcap=qcap, hcap=hcap)
+        return (out, starts, spans, hcap)
+
+    def collect_probe(self, handle) -> Optional[List[list]]:
+        """Blocks; per-span weak SolidRun lists (None = overflow/fallback)."""
+        from ratatosk_tpu.correct.seeds import SolidRun
+        (sel, ex_row, ex_fw, varid, n, of, stats), starts, spans, hcap = \
+            handle
+        if bool(of) or int(n) > hcap:
+            # escalate the qcap ladder for future batches; this one falls
+            # back to the host probe
+            if self.qtier + 1 < len(self._QTIERS):
+                self.qtier += 1
+            self._low_streak = 0
+            self.n_fallback += 1
+            return None
+        # walk back down when occupancy stays well under the next-smaller cap
+        if self.qtier > 0:
+            st = np.asarray(stats)
+            L_eff = int(sel.shape[0]) * 8  # hcap = L//8
+            smaller = L_eff // self._QTIERS[self.qtier - 1] + 4096
+            if int(st[1]) * 2 < smaller:
+                self._low_streak += 1
+                if self._low_streak >= 3:
+                    self.qtier -= 1
+                    self._low_streak = 0
+            else:
+                self._low_streak = 0
+        k = self.k
+        n = int(n)
+        sel = np.asarray(sel)[:n]
+        ex_row = np.asarray(ex_row)[:n]
+        ex_fw = np.asarray(ex_fw)[:n]
+        varid = np.asarray(varid)[:n]
+        out: List[list] = [[] for _ in spans]
+        if n == 0:
+            return out
+        starts_arr = np.asarray(starts, np.int64)
+        si = np.searchsorted(starts_arr, sel, side="right") - 1
+        rpos = sel - starts_arr[si]
+        is_ex = ex_row >= 0
+        # varid packs ((row*3 + kind) << 1) | fw
+        vt = np.maximum(varid, 0) >> 1
+        fw = np.where(is_ex, ex_fw, varid & 1).astype(bool)
+        rsp_code = np.where(is_ex, _SUB, vt % 3)
+        row = np.where(is_ex, ex_row, vt // 3)
+        rsp = np.where(is_ex, k,
+                       np.where(rsp_code == _DEL, k + 1,
+                                np.where(rsp_code == _INS, k - 1, k))
+                       ).astype(np.int32)
+        uid = self.uid[row].astype(np.int64)
+        direction = np.where(fw == self.strand[row], 0, 1)
+        o = np.where(direction == 0, self.upos[row],
+                     self.nk[uid] - 1 - self.upos[row])
+        for j in range(n):
+            s_i = int(si[j])
+            a = spans[s_i][1]
+            out[s_i].append(SolidRun(
+                s=a + int(rpos[j]), e=a + int(rpos[j]), uid=int(uid[j]),
+                direction=int(direction[j]), o_s=int(o[j]), weak=True,
+                rspan=int(rsp[j])))
+        return out

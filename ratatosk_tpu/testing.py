@@ -25,12 +25,16 @@ def random_genome(rng, length: int, repeat_frac: float = 0.0,
 
 
 def short_reads(rng, genome: np.ndarray, coverage: float,
-                read_len: int = 120) -> List[np.ndarray]:
+                read_len: int = 120, err: float = 0.0) -> List[np.ndarray]:
+    """Uniformly sampled short reads, random strand, optional errors."""
     n = int(len(genome) * coverage / read_len)
     out = []
     for _ in range(n):
         s = rng.integers(0, len(genome) - read_len + 1)
         r = genome[s:s + read_len].copy()
+        if err > 0:
+            mask = rng.random(read_len) < err
+            r[mask] = (r[mask] + rng.integers(1, 4, size=int(mask.sum()))) % 4
         if rng.random() < 0.5:
             r = dna.revcomp_codes(r)
         out.append(r.astype(np.uint8))
@@ -38,23 +42,54 @@ def short_reads(rng, genome: np.ndarray, coverage: float,
 
 
 def noisy_read(rng, genome: np.ndarray, start: int, length: int,
-               err: float) -> Tuple[np.ndarray, np.ndarray]:
+               err: float, mix=(0.5, 0.25, 0.25)
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """One ONT-like read: (noisy codes, true codes). mix = (sub, ins, del)."""
     true = genome[start:start + length]
     out = []
     i = 0
+    p_sub, p_ins, _ = mix
     while i < len(true):
         r = rng.random()
-        if r < err * 0.5:
+        if r < err * p_sub:
             out.append((true[i] + rng.integers(1, 4)) % 4)
             i += 1
-        elif r < err * 0.75:
-            out.append(rng.integers(0, 4))
+        elif r < err * (p_sub + p_ins):
+            out.append(rng.integers(0, 4))     # insertion: no i advance
         elif r < err:
-            i += 1
+            i += 1                             # deletion
         else:
             out.append(true[i])
             i += 1
     return np.array(out, dtype=np.uint8), true.astype(np.uint8)
+
+
+def long_reads(rng, genome: np.ndarray, n: int, min_len: int = 2000,
+               max_len: int = 8000, err: float = 0.10):
+    """n noisy long reads; returns list of (noisy, true, start)."""
+    out = []
+    for _ in range(n):
+        length = int(rng.integers(min_len, min(max_len, len(genome)) + 1))
+        start = int(rng.integers(0, len(genome) - length + 1))
+        noisy, true = noisy_read(rng, genome, start, length, err)
+        out.append((noisy, true, start))
+    return out
+
+
+def error_rate(a: np.ndarray, b: np.ndarray) -> float:
+    """Edit distance / len(b) via numpy row DP (oracle; also used in tests)."""
+    if len(a) == 0:
+        return 1.0 if len(b) else 0.0
+    n = len(b)
+    j_idx = np.arange(n + 1, dtype=np.int64)
+    prev = j_idx.copy()
+    for i in range(len(a)):
+        d = np.concatenate((
+            [i + 1],
+            np.minimum(prev[:-1] + (b != a[i]), prev[1:] + 1),
+        ))
+        prev = j_idx + np.minimum.accumulate(d - j_idx)
+    return float(prev[-1]) / max(n, 1)
 
 
 def build_toy_corrector(seed: int = 0, glen: int = 6000, k: int = 17,

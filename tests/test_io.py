@@ -76,5 +76,6 @@ def test_writer_trim_split(tmp_path):
     with fastx.FastqWriter(out, trim_qual=20, min_len=20) as w:
         w.write("r", codes, qual)
     recs = list(fastx.read_fastx(out, prefer_native=False))
-    assert [r.name for r in recs] == ["r/0", "r/1"]
+    # sub-read ids start at /1 (Ratatosk.cpp:528 id_subread = 1)
+    assert [r.name for r in recs] == ["r/1", "r/2"]
     assert len(recs[0].codes) == 50 and len(recs[1].codes) == 60
