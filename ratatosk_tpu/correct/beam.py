@@ -254,7 +254,12 @@ def _sprint_advance(g: DeviceGraph, rb: RegionBatch, padded_tgt,
     ).astype(st.btgt.dtype)                                    # [R, smax-1]
 
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # measured on the bench chip (r4): at the 256-bucket shape the
+        # Pallas sprint is SLOWER than the fused XLA path (49 vs 43
+        # ms/launch) and one shape took minutes to compile, so XLA is the
+        # default everywhere until the kernel earns its place with a
+        # recorded A/B win (opt-in via sprint_impl="pallas")
+        impl = "xla"
     if impl.startswith("pallas"):
         # fused VMEM-resident inner loop (ops/sprint_pallas.py): the whole
         # sprint costs one HBM read+write of the band state instead of ~8

@@ -159,6 +159,11 @@ def probe_slots_raw(hx: HashKmerIndex, w_lo, w_hi=None, valid=None):
         h = hash_words(ql0, ql1, qh0, qh1)
     else:
         h = hash_words(ql0, ql1)
+    if hx.n == 0:
+        # return before tracing the gather loop: key_tbl has a zero-size
+        # leading dim and XLA's out-of-bounds clamp on an empty gather is
+        # implementation-defined (ADVICE r4 #3)
+        return jnp.full(w_lo.shape, -1, jnp.int32)
     bq = (h >> np.uint32(32 - hx.bits)).astype(jnp.int32)
     d0 = hx.dir0[bq]
     nn = max(2 * hx.n, 1)
@@ -173,8 +178,6 @@ def probe_slots_raw(hx: HashKmerIndex, w_lo, w_hi=None, valid=None):
 
     hit = jax.lax.fori_loop(
         0, hx.dmax, body, jnp.full(w_lo.shape, -1, jnp.int32))
-    if hx.n == 0:
-        hit = jnp.full(w_lo.shape, -1, jnp.int32)
     if valid is not None:
         hit = jnp.where(valid, hit, -1)
     return hit

@@ -59,8 +59,9 @@ def main():
     stats = np.asarray(out[6])
     L = sum(len(r) for r in reads) + len(reads)
     print(f"[stats] probe kernel: {dt*1000:.0f} ms/batch; concat={L} "
-          f"n_allowed={stats[0]} nq_max={stats[1]} survivors={stats[2]} "
-          f"seeds={stats[3]} of={bool(out[5])} qtier={dp.qtier}",
+          f"padded={dp.min_tier} qcap={dp._qcap(dp.min_tier)} "
+          f"hcap={ph[3]} n_allowed={stats[0]} nq_max={stats[1]} "
+          f"survivors={stats[2]} seeds={stats[3]} of={bool(out[5])}",
           file=sys.stderr)
     seeds = dp.collect_probe(ph)
     if seeds is None:
