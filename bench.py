@@ -89,9 +89,13 @@ def main() -> None:
     sreads = testing.short_reads(rng, genome, coverage=40.0)
 
     # nb_threads=2 double-buffers host planning against device execution;
-    # ~1MB read batches keep full-width region batches on the device
+    # ~1MB read batches keep full-width region batches on the device.
+    # RTPU_PLAN_DEV=1 A/Bs the device planner against the (default) host
+    # planner on the same config (VERDICT r4 next #1c; host measured 1.6x
+    # faster on the bench chip — chip contention outweighs the kernel win).
     opt = CorrectOpt(small_k=31, k=63, beam_width=16, batch_regions=512,
-                     nb_threads=2, read_batch_bp=1 << 20)
+                     nb_threads=2, read_batch_bp=1 << 20,
+                     plan_on_device=os.environ.get("RTPU_PLAN_DEV") == "1")
     o1 = _pass_opt(opt, 1)
 
     # warm the kernel cache CONCURRENTLY with the (untimed) index build: a

@@ -40,6 +40,24 @@ static inline uint64_t hash_key(u128 q, bool two_word) {
     return two_word ? sm64(hi ^ sm64(lo)) : sm64(lo);
 }
 
+// hash-directory lookup: keys sorted by hash bucket (top `bits` of
+// hash_key), dir0[2^bits + 1] bucket starts, hrows[slot] = value-order row.
+// O(1 + bucket len) probes instead of log2(n) binary-search rounds — the
+// host mirror of ops/hash_index.py's device directory.
+static inline int64_t find_key_hash(const uint64_t* khi, const uint64_t* klo,
+                                    const int64_t* hrows,
+                                    const int32_t* dir0, int32_t bits,
+                                    bool two_word, u128 q) {
+    uint64_t h = hash_key(q, two_word);
+    uint64_t b = h >> (64 - bits);
+    int64_t s = dir0[b], e = dir0[b + 1];
+    for (; s < e; ++s) {
+        u128 kk = khi ? (((u128)khi[s] << 64) | klo[s]) : (u128)klo[s];
+        if (kk == q) return hrows[s];
+    }
+    return -1;
+}
+
 // lower_bound over sorted (hi,lo) keys; khi may be null (one-word keys)
 static inline int64_t find_key(const uint64_t* khi, const uint64_t* klo,
                                int64_t n, u128 q) {
@@ -168,6 +186,41 @@ void rt_lookup(const uint8_t* codes, int64_t L, int32_t k,
     for (auto& t : ts) t.join();
 }
 
+// Exact lookup of every k-window against the HASH-ORDERED key table
+// (find_key_hash layout). out_row[p] = value-order row or -1.
+void rt_lookup_hash(const uint8_t* codes, int64_t L, int32_t k,
+                    const uint64_t* hk_hi, const uint64_t* hk_lo,
+                    const int64_t* hrows, const int32_t* dir0, int32_t bits,
+                    int64_t* out_row, uint8_t* out_isfw, int32_t n_threads) {
+    int64_t P = L - k + 1;
+    if (P <= 0) return;
+    if (n_threads < 1) n_threads = 1;
+    bool two = hk_hi != nullptr;
+    auto work = [&](int64_t a, int64_t b) {
+        Roll w(k);
+        for (int64_t i = a; i < b + k - 1; ++i) {
+            w.push(codes[i]);
+            int64_t p = i - k + 1;
+            if (p < a) continue;
+            if (!w.full()) { out_row[p] = -1; out_isfw[p] = 1; continue; }
+            bool fwle = w.fw <= w.rc;
+            out_isfw[p] = fwle ? 1 : 0;
+            out_row[p] = find_key_hash(two ? hk_hi : nullptr, hk_lo, hrows,
+                                       dir0, bits, two,
+                                       fwle ? w.fw : w.rc);
+        }
+    };
+    if (n_threads == 1 || P < 4096) { work(0, P); return; }
+    std::vector<std::thread> ts;
+    int64_t step = (P + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        int64_t a = t * step, b = std::min<int64_t>(P, a + step);
+        if (a >= b) break;
+        ts.emplace_back(work, a, b);
+    }
+    for (auto& t : ts) t.join();
+}
+
 struct Hit { int64_t pos, row; uint8_t fw, kind; };
 
 // 1-edit seed probe over concatenated spans (separated by invalid bases).
@@ -175,11 +228,26 @@ struct Hit { int64_t pos, row; uint8_t fw, kind; };
 // 3 = ins (k-1 read window). Mirrors seeds.py:find_weak_seeds_batch's
 // variant enumeration, prefilter, and near-exact suppression.
 // Returns hit count, or -(needed) when `cap` is too small.
+// hf_tbl/hf_bits/half_len: optional pigeonhole half-k-mer filter (mirrors
+// ops/hash_index.py make_half_bitmap + ops/plan_device.py side gating): a
+// 1-edit variant of an m-window keeps at least one of the window's
+// (half_len-prefix, half_len-suffix) intact, so a window with BOTH halves
+// absent from the graph enumerates nothing, and a window with one half
+// present restricts the edit-position range to the side that half certifies.
+// Exact (the table has no false negatives), so results are bit-identical to
+// the unfiltered enumeration; false positives only cost probe work.
+// hrows/hdir/hdir_bits: optional hash directory — when hdir is non-null,
+// keys_hi/keys_lo are the HASH-ORDERED table and lookups go through
+// find_key_hash (value row via hrows) instead of binary search.
 int64_t rt_seed_probe(const uint8_t* codes, int64_t L, int32_t k,
                       const int64_t* span_starts, int64_t n_spans,
                       const uint64_t* keys_hi, const uint64_t* keys_lo,
                       int64_t n_keys,
+                      const int64_t* hrows, const int32_t* hdir,
+                      int32_t hdir_bits,
                       const uint8_t* pf_tbl, int32_t pf_bits,
+                      const uint8_t* hf_tbl, int32_t hf_bits,
+                      int32_t half_len,
                       int32_t stride, int32_t near_exact_skip,
                       int32_t do_subs, int32_t do_indels,
                       int64_t* out_pos, int64_t* out_row,
@@ -190,6 +258,13 @@ int64_t rt_seed_probe(const uint8_t* codes, int64_t L, int32_t k,
     std::vector<std::vector<Hit>> results((size_t)n_threads);
     std::vector<uint8_t> exact_hit((size_t)std::max<int64_t>(L, 1), 0);
 
+    auto lookup_q = [&](u128 q) -> int64_t {
+        if (hdir)
+            return find_key_hash(two_word ? keys_hi : nullptr, keys_lo,
+                                 hrows, hdir, hdir_bits, two_word, q);
+        return find_key(two_word ? keys_hi : nullptr, keys_lo, n_keys, q);
+    };
+
     auto probe = [&](u128 v, u128 rv, int64_t p, uint8_t kind,
                      std::vector<Hit>& out) {
         bool fwle = v <= rv;
@@ -198,8 +273,7 @@ int64_t rt_seed_probe(const uint8_t* codes, int64_t L, int32_t k,
             uint64_t h = hash_key(q, two_word);
             if (!pf_tbl[h >> (64 - pf_bits)]) return;
         }
-        int64_t row = find_key(two_word ? keys_hi : nullptr, keys_lo,
-                               n_keys, q);
+        int64_t row = lookup_q(q);
         if (row >= 0) out.push_back({p, row, (uint8_t)(fwle ? 1 : 0), kind});
     };
 
@@ -259,6 +333,36 @@ int64_t rt_seed_probe(const uint8_t* codes, int64_t L, int32_t k,
         }
     }
 
+    // half-filter presence of the forward half_len-window at every position
+    std::vector<uint8_t> hhit;
+    if (hf_tbl && half_len > 0 && (do_subs || do_indels)) {
+        hhit.assign((size_t)L, 0);
+        int64_t Ph = L - half_len + 1;
+        auto hwork = [&](int64_t a, int64_t b) {
+            Roll w(half_len);
+            for (int64_t i = a; i < b + half_len - 1 && i < L; ++i) {
+                w.push(codes[i]);
+                int64_t p = i - half_len + 1;
+                if (p < a || !w.full()) continue;
+                uint64_t hh = sm64((uint64_t)w.fw);
+                hhit[(size_t)p] = hf_tbl[hh >> (64 - hf_bits)];
+            }
+        };
+        if (Ph > 0) {
+            if (n_threads == 1 || Ph < 4096) hwork(0, Ph);
+            else {
+                std::vector<std::thread> ts;
+                int64_t step = (Ph + n_threads - 1) / n_threads;
+                for (int t = 0; t < n_threads; ++t) {
+                    int64_t a = t * step, b = std::min<int64_t>(Ph, a + step);
+                    if (a >= b) break;
+                    ts.emplace_back(hwork, a, b);
+                }
+                for (auto& t : ts) t.join();
+            }
+        }
+    }
+
     // phase 2: 1-edit variants (stride + skip mask apply to window starts)
     if (do_subs || do_indels) {
         auto work = [&](int t, int64_t a, int64_t b) {
@@ -276,14 +380,31 @@ int64_t rt_seed_probe(const uint8_t* codes, int64_t L, int32_t k,
                 if (stride > 1 && (p - span_of(p)) % stride != 0) return false;
                 return true;
             };
+            int hh2 = half_len;
+            // pigeonhole side gate (ops/plan_device.py `sides`): the edit-
+            // position range [qlo, qhi) a window enumerates for an m-window
+            // kind, given which of its halves exist in the graph. Returns
+            // false when neither does (no 1-edit hit is possible).
+            auto side_range = [&](int64_t p, int m, int p0, int suf_hi,
+                                  int* qlo, int* qhi) -> bool {
+                if (hhit.empty()) { *qlo = p0; *qhi = k; return true; }
+                bool pre = hhit[(size_t)p];
+                bool suf = hhit[(size_t)(p + m - half_len)];
+                if (!pre && !suf) return false;
+                *qlo = suf ? p0 : std::max(p0, hh2);
+                *qhi = pre ? k : suf_hi;
+                return *qlo < *qhi;
+            };
             for (int64_t i = a; i < b + k && i < L; ++i) {
                 uint8_t c = codes[i];
                 wk.push(c); wd.push(c); wi.push(c);
                 if (do_subs && wk.full()) {
                     int64_t p = i - k + 1;
                     int m = k;
-                    if (p >= a && p < b && allowed(p)) {
-                        for (int q = 0; q < m; ++q) {
+                    int qlo, qhi;
+                    if (p >= a && p < b && allowed(p)
+                        && side_range(p, m, 0, k - hh2, &qlo, &qhi)) {
+                        for (int q = qlo; q < qhi; ++q) {
                             int orig = get_base(wk.fw, m, q);
                             for (int bb = 0; bb < 4; ++bb) {
                                 if (bb == orig) continue;
@@ -297,8 +418,10 @@ int64_t rt_seed_probe(const uint8_t* codes, int64_t L, int32_t k,
                 if (do_indels && wd.full()) {
                     int64_t p = i - k;                    // (k+1)-window start
                     int m = k + 1;
-                    if (p >= a && p < b && allowed(p)) {
-                        for (int q = 1; q < k; ++q)
+                    int qlo, qhi;
+                    if (p >= a && p < b && allowed(p)
+                        && side_range(p, m, 1, k - hh2 + 1, &qlo, &qhi)) {
+                        for (int q = qlo; q < qhi; ++q)
                             probe(drop_base(wd.fw, m, q),
                                   drop_base(wd.rc, m, m - 1 - q), p, 2, out);
                     }
@@ -306,8 +429,10 @@ int64_t rt_seed_probe(const uint8_t* codes, int64_t L, int32_t k,
                 if (do_indels && k >= 2 && wi.full()) {
                     int64_t p = i - k + 2;                // (k-1)-window start
                     int m = k - 1;
-                    if (p >= a && p < b && allowed(p)) {
-                        for (int q = 1; q < k; ++q)
+                    int qlo, qhi;
+                    if (p >= a && p < b && allowed(p)
+                        && side_range(p, m, 1, k - hh2, &qlo, &qhi)) {
+                        for (int q = qlo; q < qhi; ++q)
                             for (int bb = 0; bb < 4; ++bb)
                                 probe(insert_base(wi.fw, m, q, bb),
                                       insert_base(wi.rc, m, m - q, 3 - bb),

@@ -121,10 +121,14 @@ class CorrectOpt:
     n_devices: int = 0
     read_batch_bp: int = 1 << 20  # ~1MB of read data per host batch (Common.hpp:138)
     # run batch planning (anchor lookup + 1-edit seed probe) as async device
-    # dispatches (ops/plan_device.py) instead of the native host kernels —
-    # the host has few cores while the chip idles during planning. Falls
-    # back to the host path on capacity overflow or in sharded-index mode.
-    plan_on_device: bool = True
+    # dispatches (ops/plan_device.py) instead of the native host kernels.
+    # Default OFF: the r5 A/B on the bench chip (1 Mbp genome, 5 Mbp reads,
+    # identical config) measured host 154.9k b/s vs device 96.1k — with the
+    # double-buffer the host planner runs on otherwise-idle cores, while
+    # planner kernels serialize against beam launches on the single chip
+    # (device-mode finish timers inflate 2-3x from that contention). Turn on
+    # when the host, not the chip, is the bottleneck.
+    plan_on_device: bool = False
     min_count_kmer: int = 2       # k-mers need >=2 occurrences from reads (Bifrost contract)
     # pass 2 skips regions whose (pass-1) quality is already maximal
     # (Correction.cpp:779,808,941); never set for raw sequencer quality

@@ -58,10 +58,8 @@ def find_runs(cdbg: Cdbg, codes: np.ndarray, probe=None) -> List[SolidRun]:
     if codes.shape[-1] < k:
         return []
     if probe is None and NK.available():
-        rows, is_fw = NK.lookup(np.asarray(codes, np.uint8), k,
-                                np.asarray(cdbg.index.keys_lo),
-                                np.asarray(cdbg.index.keys_hi)
-                                if cdbg.index.two_word else None)
+        rows, is_fw = NK.index_lookup(np.asarray(codes, np.uint8), k,
+                                      cdbg.index)
         hit = rows >= 0
         if not hit.any():
             return []
@@ -323,6 +321,54 @@ def _probe_prefilter(index, bits: Optional[int] = None):
     return cached
 
 
+def _half_filter(index, bits: Optional[int] = None):
+    """Pigeonhole half-k-mer occupancy table (cached on the index).
+
+    Host analog of ops/hash_index.make_half_bitmap: h-prefixes and
+    h-suffixes (h = (k-1)//2) of every index key in BOTH orientations,
+    hashed with splitmix64 into a byte table. A 1-edit variant of a window
+    keeps at least one half intact, so a window with both halves absent
+    enumerates no variants at all (native/kmers.cpp side gating). Exact —
+    false positives only cost probe work.
+    """
+    cached = getattr(index, "_half_filter", None)
+    if cached is not None:
+        return cached
+    import ratatosk_tpu.ops.kmers as K
+    k = index.k
+    h = (k - 1) // 2
+    lo = np.asarray(index.keys_lo, np.uint64)
+    m2h = np.uint64((1 << (2 * h)) - 1)
+    sh = 2 * (k - h)
+    if index.two_word:
+        hi = np.asarray(index.keys_hi, np.uint64)
+        rhi, rlo = K.revcomp_kmer2(hi, lo, k, np)
+        alo = np.concatenate([lo, rlo])
+        ahi = np.concatenate([hi, rhi])
+        if sh >= 64:
+            pre = ahi >> np.uint64(sh - 64)
+        else:
+            pre = ((ahi << np.uint64(64 - sh)) | (alo >> np.uint64(sh))) & m2h
+    else:
+        rlo = K.revcomp_kmer(lo, k, np)
+        alo = np.concatenate([lo, rlo])
+        pre = alo >> np.uint64(sh)
+    suf = alo & m2h
+    halves = np.concatenate([pre, suf])
+    if bits is None:
+        n = max(len(halves), 1)
+        bits = min(28, max(20, int(np.ceil(np.log2(16 * n)))))
+    hh = K.splitmix64(halves, np)
+    tbl = np.zeros(1 << bits, dtype=np.uint8)
+    tbl[(hh >> np.uint64(64 - bits)).astype(np.int64)] = 1
+    cached = (tbl, bits, h)
+    try:
+        setattr(index, "_half_filter", cached)
+    except AttributeError:
+        pass
+    return cached
+
+
 def find_weak_seeds_batch(cdbg: Cdbg, reads, spans, *, subs: bool = True,
                           indels: bool = True, stride: int = 1,
                           near_exact_skip: int = 16,
@@ -365,16 +411,20 @@ def find_weak_seeds_batch(cdbg: Cdbg, reads, spans, *, subs: bool = True,
     prefilter = _probe_prefilter(cdbg.index)
     from ratatosk_tpu.ops import native_kmers as NK
     if NK.available():
-        # native probe: rolling-window variant generation + prefilter +
-        # binary search in one multithreaded C++ pass (native/kmers.cpp)
+        # native probe: rolling-window variant generation + half-filter
+        # window gating + prefilter + binary search in one multithreaded
+        # C++ pass (native/kmers.cpp)
         tbl, bits = prefilter
+        hf_tbl, hf_bits, half_len = _half_filter(cdbg.index)
         gpos, r, fwh, kind_h = NK.seed_probe(
             concat, k, starts_arr,
             np.asarray(cdbg.index.keys_lo),
             np.asarray(cdbg.index.keys_hi) if cdbg.index.two_word else None,
             tbl.view(np.uint8), bits, stride=stride,
             near_exact_skip=near_exact_skip, subs=subs,
-            indels=indels and k <= 63)
+            indels=indels and k <= 63,
+            hf_tbl=hf_tbl, hf_bits=hf_bits, half_len=half_len,
+            index=cdbg.index)
         if gpos.size == 0:
             return out
         rsp = np.where(kind_h == 2, k + 1,
@@ -449,21 +499,20 @@ def find_weak_seeds_batch(cdbg: Cdbg, reads, spans, *, subs: bool = True,
     # dedupe identical placements, then resolve per position: an exact
     # placement outranks 1-edit variant placements (it is the stronger
     # evidence, like the reference's exact-before-inexact search order);
-    # conflicts only count within the strongest class present
-    order = np.lexsort((rsp, o, direction, uid, rpos, si))
-    si, rpos, uid, direction, o, rsp, ex = (x[order] for x in
-                                            (si, rpos, uid, direction, o,
-                                             rsp, ex))
-    same = ((si[1:] == si[:-1]) & (rpos[1:] == rpos[:-1])
-            & (uid[1:] == uid[:-1]) & (direction[1:] == direction[:-1])
-            & (o[1:] == o[:-1]) & (rsp[1:] == rsp[:-1]))
-    keep = np.concatenate([[True], ~same])
+    # conflicts only count within the strongest class present. The sort keys
+    # pack into two int64 words (position id; placement id) so the lexsort
+    # and dedupe run in two passes instead of seven (r5 host-plan profile).
+    pk_pos = (si.astype(np.int64) << 32) | rpos
+    pk_p1 = (uid << 1) | direction.astype(np.int64)
+    pk_p2 = (o.astype(np.int64) << 2) | (rsp.astype(np.int64) - (k - 1))
+    order = np.lexsort((pk_p2, pk_p1, pk_pos))
+    pp, p1, p2, ex = pk_pos[order], pk_p1[order], pk_p2[order], ex[order]
+    keep = np.concatenate([[True], (pp[1:] != pp[:-1]) | (p1[1:] != p1[:-1])
+                           | (p2[1:] != p2[:-1])])
     # an exact hit and its identical sub-duplicate can't exist (sub excludes
     # the original base), so dedupe never merges across the exact flag
-    si, rpos, uid, direction, o, rsp, ex = (x[keep] for x in
-                                            (si, rpos, uid, direction, o,
-                                             rsp, ex))
-    gnew = np.concatenate([[True], (si[1:] != si[:-1]) | (rpos[1:] != rpos[:-1])])
+    order, pp, ex = order[keep], pp[keep], ex[keep]
+    gnew = np.concatenate([[True], pp[1:] != pp[:-1]])
     gid = np.cumsum(gnew) - 1
     n_ex = np.bincount(gid, weights=ex.astype(np.float64)).astype(np.int64)
     n_all = np.bincount(gid)
@@ -475,13 +524,15 @@ def find_weak_seeds_batch(cdbg: Cdbg, reads, spans, *, subs: bool = True,
     ex_rank = cum_ex - ex - grp_base
     first_exact = ex & (ex_rank == 0) & (n_ex[gid] <= max_hits_per_pos)
     first_plain = gnew & (n_ex[gid] == 0) & (n_all[gid] <= max_hits_per_pos)
-    sel = np.flatnonzero(first_exact | first_plain)
-    for j in sel:
-        s_i = int(si[j])
-        a = spans[s_i][1]
-        out[s_i].append(SolidRun(s=a + int(rpos[j]), e=a + int(rpos[j]),
-                                 uid=int(uid[j]), direction=int(direction[j]),
-                                 o_s=int(o[j]), weak=True, rspan=int(rsp[j])))
+    sel = order[first_exact | first_plain]
+    span_a = [sp[1] for sp in spans]
+    for s_i, p, u, d, oo, rs in zip(si[sel].tolist(), rpos[sel].tolist(),
+                                    uid[sel].tolist(),
+                                    direction[sel].tolist(), o[sel].tolist(),
+                                    rsp[sel].tolist()):
+        a = span_a[s_i]
+        out[s_i].append(SolidRun(s=a + p, e=a + p, uid=u, direction=d,
+                                 o_s=oo, weak=True, rspan=rs))
     return out
 
 

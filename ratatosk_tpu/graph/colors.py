@@ -109,7 +109,7 @@ def _probe_chunk(cdbg: Cdbg, keys: KeyArray, chunk_reads, chunk_rids,
     first_uid = np.full(len(chunk_reads), -1, dtype=np.int64)
     from ratatosk_tpu.ops import native_kmers as NK
     if NK.available():
-        rows_all, _ = NK.lookup(concat, k, keys.lo, keys.hi)
+        rows_all, _ = NK.index_lookup(concat, k, cdbg.index)
         sel = np.flatnonzero(rows_all >= 0)
         if sel.size == 0:
             return np.zeros(0, np.int64), first_uid

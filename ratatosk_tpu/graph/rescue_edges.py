@@ -45,9 +45,7 @@ def rescue_pass1_edges(cdbg: Cdbg, colors: GraphColors, cdbg_k2: Cdbg,
     concat = np.concatenate(parts)
 
     if NK.available():
-        rows, is_fw = NK.lookup(concat, k, np.asarray(cdbg.index.keys_lo),
-                                np.asarray(cdbg.index.keys_hi)
-                                if cdbg.index.two_word else None)
+        rows, is_fw = NK.index_lookup(concat, k, cdbg.index)
     else:
         ka, valid = KeyArray.from_codes(concat, k)
         can, is_fw = ka.canonical()

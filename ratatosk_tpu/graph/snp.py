@@ -78,7 +78,7 @@ def _probe_sub_hits(cdbg: Cdbg):
             np.asarray(cdbg.index.keys_lo),
             np.asarray(cdbg.index.keys_hi) if cdbg.index.two_word else None,
             tbl.view(np.uint8), bits, stride=1, near_exact_skip=0,
-            subs=True, indels=False)
+            subs=True, indels=False, index=cdbg.index)
         sel = kind == 1          # substitution hits only
         gpos, rows, fwh = gpos[sel], rows[sel], fwh[sel]
     else:

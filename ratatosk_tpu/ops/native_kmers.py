@@ -26,6 +26,7 @@ _lib_failed = False
 _U8P = ctypes.POINTER(ctypes.c_uint8)
 _U64P = ctypes.POINTER(ctypes.c_uint64)
 _I64P = ctypes.POINTER(ctypes.c_int64)
+_I32P = ctypes.POINTER(ctypes.c_int32)
 
 
 def _n_threads() -> int:
@@ -56,12 +57,19 @@ def _load():
             _U8P, ctypes.c_int64, ctypes.c_int32,
             _U64P, _U64P, ctypes.c_int64,
             _I64P, _U8P, ctypes.c_int32]
+        lib.rt_lookup_hash.restype = None
+        lib.rt_lookup_hash.argtypes = [
+            _U8P, ctypes.c_int64, ctypes.c_int32,
+            _U64P, _U64P, _I64P, _I32P, ctypes.c_int32,
+            _I64P, _U8P, ctypes.c_int32]
         lib.rt_seed_probe.restype = ctypes.c_int64
         lib.rt_seed_probe.argtypes = [
             _U8P, ctypes.c_int64, ctypes.c_int32,
             _I64P, ctypes.c_int64,
             _U64P, _U64P, ctypes.c_int64,
+            _I64P, _I32P, ctypes.c_int32,
             _U8P, ctypes.c_int32,
+            _U8P, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             _I64P, _I64P, _U8P, _U8P,
             ctypes.c_int64, ctypes.c_int32]
@@ -101,6 +109,70 @@ def canonical(codes: np.ndarray, k: int
     return hi, lo, valid.astype(bool), is_fw.astype(bool)
 
 
+def hash_dir(index):
+    """Host hash directory over an index's canonical keys (cached).
+
+    Mirror of the device directory (ops/hash_index.py) for the C kernels:
+    keys re-ordered by the top `bits` of their splitmix64 hash, a bucket-
+    start array dir0[2^bits + 1], and hrows[slot] = value-order row. Probes
+    become O(1 + bucket) instead of log2(n) binary-search rounds
+    (native/kmers.cpp find_key_hash).
+    """
+    cached = getattr(index, "_host_hash_dir", None)
+    if cached is not None:
+        return cached
+    import ratatosk_tpu.ops.kmers as K
+    n = int(index.n)
+    if n >= (1 << 31) - 1:
+        return None   # int32 slot offsets; callers fall back to the
+                      # sorted binary search at this scale
+    lo = np.ascontiguousarray(index.keys_lo, np.uint64)
+    hi = (np.ascontiguousarray(index.keys_hi, np.uint64)
+          if index.two_word else None)
+    bits = min(28, max(16, int(np.ceil(np.log2(max(2 * n, 2))))))
+    h = K.hash_kmer2(hi, lo, np) if index.two_word else K.hash_kmer(lo, np)
+    buck = (h >> np.uint64(64 - bits)).astype(np.int64)
+    order = np.argsort(buck, kind="stable")
+    dir0 = np.zeros((1 << bits) + 1, np.int32)
+    dir0[1:] = np.cumsum(np.bincount(buck, minlength=1 << bits)
+                         ).astype(np.int32)
+    cached = (np.ascontiguousarray(lo[order]),
+              np.ascontiguousarray(hi[order]) if hi is not None else None,
+              np.ascontiguousarray(order.astype(np.int64)),
+              np.ascontiguousarray(dir0), bits)
+    try:
+        setattr(index, "_host_hash_dir", cached)
+    except AttributeError:
+        pass
+    return cached
+
+
+def index_lookup(codes: np.ndarray, k: int, index
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact value-order index row of every k-window via the hash directory
+    (-1 = miss). Returns (rows, is_fw). Drop-in for lookup(...) on an index
+    object."""
+    lib = _load()
+    assert lib is not None
+    hd = hash_dir(index)
+    if hd is None:
+        return lookup(codes, k, np.asarray(index.keys_lo),
+                      np.asarray(index.keys_hi) if index.two_word else None)
+    hk_lo, hk_hi, hrows, dir0, bits = hd
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    P = max(len(codes) - k + 1, 0)
+    rows = np.full(P, -1, dtype=np.int64)
+    is_fw = np.zeros(P, dtype=np.uint8)
+    if P and len(hk_lo):
+        lib.rt_lookup_hash(codes.ctypes.data_as(_U8P), len(codes), k,
+                           _u64p(hk_hi), _u64p(hk_lo),
+                           hrows.ctypes.data_as(_I64P),
+                           dir0.ctypes.data_as(_I32P), bits,
+                           rows.ctypes.data_as(_I64P),
+                           is_fw.ctypes.data_as(_U8P), _n_threads())
+    return rows, is_fw.astype(bool)
+
+
 def lookup(codes: np.ndarray, k: int, keys_lo: np.ndarray,
            keys_hi: Optional[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
     """Exact index row of every k-window (-1 = miss). Returns (rows, is_fw)."""
@@ -125,9 +197,16 @@ def seed_probe(concat: np.ndarray, k: int, span_starts: np.ndarray,
                keys_lo: np.ndarray, keys_hi: Optional[np.ndarray],
                pf_tbl: Optional[np.ndarray], pf_bits: int,
                *, stride: int = 1, near_exact_skip: int = 16,
-               subs: bool = True, indels: bool = True):
+               subs: bool = True, indels: bool = True,
+               hf_tbl: Optional[np.ndarray] = None, hf_bits: int = 0,
+               half_len: int = 0, index=None):
     """1-edit probe of all spans. Returns (pos, row, is_fw, kind) arrays;
-    kind: 0 exact, 1 sub, 2 del (k+1 read window), 3 ins (k-1)."""
+    kind: 0 exact, 1 sub, 2 del (k+1 read window), 3 ins (k-1).
+
+    hf_tbl/hf_bits/half_len: optional pigeonhole half-k-mer occupancy table
+    (correct/seeds._half_filter) — prunes windows with both halves absent
+    and restricts edit positions to the certified side; bit-identical
+    results (no false negatives)."""
     lib = _load()
     assert lib is not None
     concat = np.ascontiguousarray(concat, dtype=np.uint8)
@@ -138,6 +217,16 @@ def seed_probe(concat: np.ndarray, k: int, span_starts: np.ndarray,
     pf = None
     if pf_tbl is not None:
         pf = np.ascontiguousarray(pf_tbl, dtype=np.uint8)
+    hf = None
+    if hf_tbl is not None and half_len > 0:
+        hf = np.ascontiguousarray(hf_tbl, dtype=np.uint8)
+    # with a hash directory, the key table handed to C is the hash-ordered
+    # one and lookups go through the directory (find_key_hash)
+    hrows = dir0 = None
+    dir_bits = 0
+    hd = hash_dir(index) if index is not None else None
+    if hd is not None:
+        keys_lo, keys_hi, hrows, dir0, dir_bits = hd
     cap = max(len(concat) // 8, 1 << 14)
     while True:
         pos = np.zeros(cap, dtype=np.int64)
@@ -148,8 +237,14 @@ def seed_probe(concat: np.ndarray, k: int, span_starts: np.ndarray,
             concat.ctypes.data_as(_U8P), len(concat), k,
             span_starts.ctypes.data_as(_I64P), len(span_starts),
             _u64p(keys_hi), _u64p(keys_lo), len(keys_lo),
+            hrows.ctypes.data_as(_I64P) if hrows is not None else None,
+            dir0.ctypes.data_as(_I32P) if dir0 is not None else None,
+            dir_bits,
             pf.ctypes.data_as(_U8P) if pf is not None else None,
-            pf_bits, stride, near_exact_skip,
+            pf_bits,
+            hf.ctypes.data_as(_U8P) if hf is not None else None,
+            hf_bits, half_len if hf is not None else 0,
+            stride, near_exact_skip,
             1 if subs else 0, 1 if indels else 0,
             pos.ctypes.data_as(_I64P), row.ctypes.data_as(_I64P),
             fw.ctypes.data_as(_U8P), kind.ctypes.data_as(_U8P),
