@@ -472,3 +472,132 @@ int64_t rt_seed_probe(const uint8_t* codes, int64_t L, int32_t k,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// bucketed k-mer counting (large-scale index construction)
+//
+// The sort-everything count (graph/build.py count_kmers) holds every window
+// key plus an argsort permutation in RAM — ~100 GB+ at human-chr scale for
+// k=63. These kernels implement the scalable path: canonical keys are
+// range-partitioned by their top `bbits` bits into buckets (so the bucket
+// concatenation is globally key-sorted), each bucket is LSD-radix-sorted in
+// C with a same-size temp buffer, and a run-length pass emits only keys with
+// count in [min_count, max_count]. Peak memory = one key stream + one bucket
+// temp. The same partition is the unit of the distributed all-to-all
+// (parallel/build_dist.py). Reference role: Bifrost's KmerStream/BBF-based
+// counting inside CompactedDBG::build (SURVEY.md §2.3).
+// ---------------------------------------------------------------------------
+
+static inline int64_t key_bucket(uint64_t hi, uint64_t lo, int32_t k,
+                                 int32_t bbits) {
+    // value = hi * 2^64 + lo occupies 2k bits; bucket = top bbits
+    int shift = 2 * k - bbits;
+    if (k > 32) {
+        int hs = shift - 64;
+        return (int64_t)(hs >= 0 ? (hi >> hs)
+                                 : ((hi << (-hs)) | (lo >> shift)));
+    }
+    return (int64_t)(lo >> shift);
+}
+
+extern "C" {
+
+// Per-bucket counts of one chunk's canonical keys (valid[i] != 0 only).
+void rt_bucket_count(const uint64_t* hi, const uint64_t* lo,
+                     const uint8_t* valid, int64_t n, int32_t k,
+                     int32_t bbits, int64_t* counts) {
+    for (int64_t i = 0; i < n; ++i)
+        if (valid[i])
+            ++counts[key_bucket(hi ? hi[i] : 0, lo[i], k, bbits)];
+}
+
+// Scatter one chunk's keys into per-bucket regions of out_*; offsets[b] is
+// the next write slot for bucket b (advanced in place).
+void rt_bucket_scatter(const uint64_t* hi, const uint64_t* lo,
+                       const uint8_t* valid, int64_t n, int32_t k,
+                       int32_t bbits, int64_t* offsets,
+                       uint64_t* out_hi, uint64_t* out_lo) {
+    for (int64_t i = 0; i < n; ++i) {
+        if (!valid[i]) continue;
+        int64_t b = key_bucket(hi ? hi[i] : 0, lo[i], k, bbits);
+        int64_t o = offsets[b]++;
+        out_lo[o] = lo[i];
+        if (hi) out_hi[o] = hi[i];
+    }
+}
+
+// LSD radix sort of a key range by (hi, lo); hi/thi may be null (one-word).
+// 16-bit digits; skips digit passes that are constant across the range.
+void rt_radix_sort(uint64_t* hi, uint64_t* lo, uint64_t* thi, uint64_t* tlo,
+                   int64_t n) {
+    if (n <= 1) return;
+    const int D = 1 << 16;
+    std::vector<int64_t> cnt((size_t)D);
+    uint64_t *a_lo = lo, *a_hi = hi, *b_lo = tlo, *b_hi = thi;
+    int nwords = hi ? 2 : 1;
+    for (int w = 0; w < nwords; ++w) {
+        for (int d = 0; d < 4; ++d) {
+            int sh = 16 * d;
+            auto digit = [&](int64_t i) -> uint32_t {
+                uint64_t v = w == 0 ? a_lo[i] : a_hi[i];
+                return (uint32_t)((v >> sh) & 0xFFFF);
+            };
+            uint32_t first = digit(0);
+            bool same = true;
+            std::fill(cnt.begin(), cnt.end(), 0);
+            for (int64_t i = 0; i < n; ++i) {
+                uint32_t dg = digit(i);
+                same &= (dg == first);
+                ++cnt[dg];
+            }
+            if (same) continue;
+            int64_t acc = 0;
+            for (int j = 0; j < D; ++j) {
+                int64_t c = cnt[(size_t)j];
+                cnt[(size_t)j] = acc;
+                acc += c;
+            }
+            for (int64_t i = 0; i < n; ++i) {
+                int64_t o = cnt[digit(i)]++;
+                b_lo[o] = a_lo[i];
+                if (hi) b_hi[o] = a_hi[i];
+            }
+            std::swap(a_lo, b_lo);
+            std::swap(a_hi, b_hi);
+        }
+    }
+    if (a_lo != lo) {
+        std::memcpy(lo, a_lo, (size_t)n * 8);
+        if (hi) std::memcpy(hi, a_hi, (size_t)n * 8);
+    }
+}
+
+// Run-length count of a sorted key range; emit keys with count in
+// [min_count, max_count] to out_* (caller sizes them at n worst case).
+// Returns the number emitted.
+int64_t rt_rle_filter(const uint64_t* hi, const uint64_t* lo, int64_t n,
+                      int64_t min_count, int64_t max_count,
+                      uint64_t* out_hi, uint64_t* out_lo,
+                      int64_t* out_cnt) {
+    int64_t m = 0;
+    int64_t i = 0;
+    while (i < n) {
+        int64_t j = i + 1;
+        if (hi) {
+            while (j < n && hi[j] == hi[i] && lo[j] == lo[i]) ++j;
+        } else {
+            while (j < n && lo[j] == lo[i]) ++j;
+        }
+        int64_t c = j - i;
+        if (c >= min_count && c <= max_count) {
+            out_lo[m] = lo[i];
+            if (hi) out_hi[m] = hi[i];
+            out_cnt[m] = c;
+            ++m;
+        }
+        i = j;
+    }
+    return m;
+}
+
+}  // extern "C"

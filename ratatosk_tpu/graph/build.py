@@ -44,6 +44,94 @@ def _canonical_all(codes: np.ndarray, k: int):
     return can.lo, can.hi, valid, is_fw
 
 
+def _concat_chunks(seqs: Iterable[np.ndarray], chunk_bp: int = 1 << 23):
+    """Yield ~chunk_bp concatenations of code arrays, separator-delimited."""
+    parts: list = []
+    bp = 0
+    sep = np.array([4], np.uint8)
+    for codes in seqs:
+        if codes.shape[-1] == 0:
+            continue
+        parts.append(np.asarray(codes, np.uint8))
+        parts.append(sep)
+        bp += len(codes) + 1
+        if bp >= chunk_bp:
+            yield np.concatenate(parts)
+            parts.clear()
+            bp = 0
+    if parts:
+        yield np.concatenate(parts)
+
+
+def count_kmers_bucketed(seqs, k: int, min_count: int = 2,
+                         max_count: Optional[int] = None, bbits: int = 8
+                         ) -> tuple[KeyArray, np.ndarray]:
+    """Scalable native counting: key-range buckets + C radix sort + RLE.
+
+    Bit-identical to count_kmers but with bounded memory (one key stream +
+    one bucket-size temp instead of stream + argsort permutation + gathered
+    copy) and a threaded C radix sort instead of np.argsort — the path for
+    human-chromosome-scale inputs (the reference sizes its index node at
+    448 GB for this step, Ratatosk_nf/nextflow.config:55-58). `seqs` must be
+    re-iterable (two streaming passes: bucket sizing, then scatter). The
+    bucket partition (top `bbits` key bits) is also the unit of the
+    distributed all-to-all (parallel/build_dist.py).
+    """
+    from ratatosk_tpu.ops import native_kmers as NK
+    assert NK.available()
+    two = k > 32
+    nb = 1 << bbits
+    counts_b = np.zeros(nb, np.int64)
+    for concat in _concat_chunks(seqs, 1 << 24):
+        hi, lo, valid, _ = NK.canonical(concat, k)
+        NK.bucket_count(hi, lo, valid.view(np.uint8), k, bbits, counts_b)
+    total = int(counts_b.sum())
+    starts = np.zeros(nb + 1, np.int64)
+    np.cumsum(counts_b, out=starts[1:])
+    all_lo = np.empty(total, np.uint64)
+    all_hi = np.empty(total, np.uint64) if two else None
+    offsets = starts[:nb].copy()
+    for concat in _concat_chunks(seqs, 1 << 24):
+        hi, lo, valid, _ = NK.canonical(concat, k)
+        NK.bucket_scatter(hi, lo, valid.view(np.uint8), k, bbits, offsets,
+                          all_hi, all_lo)
+    assert (offsets == starts[1:]).all()
+
+    from concurrent.futures import ThreadPoolExecutor
+    mc = max_count if max_count is not None else (1 << 62)
+
+    def one(b: int):
+        a, e = int(starts[b]), int(starts[b + 1])
+        n = e - a
+        if n == 0:
+            return (np.zeros(0, np.uint64),
+                    np.zeros(0, np.uint64) if two else None,
+                    np.zeros(0, np.int64))
+        lo_v = all_lo[a:e]
+        hi_v = all_hi[a:e] if two else None
+        NK.radix_sort(hi_v, lo_v, np.empty(n, np.uint64) if two else None,
+                      np.empty(n, np.uint64))
+        out_lo = np.empty(n, np.uint64)
+        out_hi = np.empty(n, np.uint64) if two else None
+        out_cnt = np.empty(n, np.int64)
+        m = NK.rle_filter(hi_v, lo_v, min_count, mc, out_hi, out_lo, out_cnt)
+        return (out_lo[:m].copy(), out_hi[:m].copy() if two else None,
+                out_cnt[:m].copy())
+
+    import os as _os
+    with ThreadPoolExecutor(max_workers=min(_os.cpu_count() or 1, 8)) as ex:
+        res = list(ex.map(one, range(nb)))
+    solid_lo = np.concatenate([r[0] for r in res])
+    solid_hi = np.concatenate([r[1] for r in res]) if two else None
+    cnts = np.concatenate([r[2] for r in res])
+    return KeyArray(k, solid_lo, solid_hi), cnts
+
+
+# total k-mer instances above which count_kmers switches to the bucketed
+# native path (the sort-everything path peaks at ~5x the key-stream bytes)
+_BUCKETED_MIN_INSTANCES = 200_000_000
+
+
 def count_kmers(seqs: Iterable[np.ndarray], k: int, min_count: int = 2,
                 max_count: Optional[int] = None) -> tuple[KeyArray, np.ndarray]:
     """Count canonical k-mers over base-code arrays.
@@ -51,8 +139,15 @@ def count_kmers(seqs: Iterable[np.ndarray], k: int, min_count: int = 2,
     Returns (sorted unique solid keys, counts). Reads shorter than k and
     windows containing non-ACGT are skipped (Bifrost behavior). Reads are
     concatenated (separated by an invalid base) and packed in ~8 MB batches —
-    one vectorized/native pass per batch, not one per read.
+    one vectorized/native pass per batch, not one per read. Inputs above
+    ~200M k-mer instances route to count_kmers_bucketed when the input is a
+    re-iterable sequence and the native kernels are built.
     """
+    from ratatosk_tpu.ops import native_kmers as NK
+    if (isinstance(seqs, (list, tuple)) and NK.available()):
+        est = sum(s.shape[-1] for s in seqs)
+        if est >= _BUCKETED_MIN_INSTANCES:
+            return count_kmers_bucketed(seqs, k, min_count, max_count)
     chunks_lo, chunks_hi = [], []
     parts: list = []
     bp = 0

@@ -57,6 +57,21 @@ def _load():
             _U8P, ctypes.c_int64, ctypes.c_int32,
             _U64P, _U64P, ctypes.c_int64,
             _I64P, _U8P, ctypes.c_int32]
+        lib.rt_bucket_count.restype = None
+        lib.rt_bucket_count.argtypes = [
+            _U64P, _U64P, _U8P, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, _I64P]
+        lib.rt_bucket_scatter.restype = None
+        lib.rt_bucket_scatter.argtypes = [
+            _U64P, _U64P, _U8P, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, _I64P, _U64P, _U64P]
+        lib.rt_radix_sort.restype = None
+        lib.rt_radix_sort.argtypes = [
+            _U64P, _U64P, _U64P, _U64P, ctypes.c_int64]
+        lib.rt_rle_filter.restype = ctypes.c_int64
+        lib.rt_rle_filter.argtypes = [
+            _U64P, _U64P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            _U64P, _U64P, _I64P]
         lib.rt_lookup_hash.restype = None
         lib.rt_lookup_hash.argtypes = [
             _U8P, ctypes.c_int64, ctypes.c_int32,
@@ -252,3 +267,50 @@ def seed_probe(concat: np.ndarray, k: int, span_starts: np.ndarray,
         if n >= 0:
             return (pos[:n], row[:n], fw[:n].astype(bool), kind[:n])
         cap = int(-n) + 1024
+
+
+# ---------------------------------------------------------------------------
+# bucketed counting kernels (large-scale index construction; see
+# native/kmers.cpp and graph/build.py count_kmers_bucketed)
+# ---------------------------------------------------------------------------
+
+def bucket_count(hi: Optional[np.ndarray], lo: np.ndarray, valid: np.ndarray,
+                 k: int, bbits: int, counts: np.ndarray) -> None:
+    """Accumulate per-bucket key counts of one chunk into counts[2^bbits]."""
+    lib = _load()
+    assert lib is not None
+    lib.rt_bucket_count(_u64p(hi), _u64p(lo),
+                        valid.ctypes.data_as(_U8P), len(lo), k, bbits,
+                        counts.ctypes.data_as(_I64P))
+
+
+def bucket_scatter(hi: Optional[np.ndarray], lo: np.ndarray,
+                   valid: np.ndarray, k: int, bbits: int,
+                   offsets: np.ndarray, out_hi: Optional[np.ndarray],
+                   out_lo: np.ndarray) -> None:
+    """Scatter one chunk's keys into bucket regions; offsets advance."""
+    lib = _load()
+    assert lib is not None
+    lib.rt_bucket_scatter(_u64p(hi), _u64p(lo),
+                          valid.ctypes.data_as(_U8P), len(lo), k, bbits,
+                          offsets.ctypes.data_as(_I64P),
+                          _u64p(out_hi), _u64p(out_lo))
+
+
+def radix_sort(hi: Optional[np.ndarray], lo: np.ndarray,
+               thi: Optional[np.ndarray], tlo: np.ndarray) -> None:
+    """In-place LSD radix sort of (hi, lo) keys; t* are same-size temps."""
+    lib = _load()
+    assert lib is not None
+    lib.rt_radix_sort(_u64p(hi), _u64p(lo), _u64p(thi), _u64p(tlo), len(lo))
+
+
+def rle_filter(hi: Optional[np.ndarray], lo: np.ndarray, min_count: int,
+               max_count: int, out_hi: Optional[np.ndarray],
+               out_lo: np.ndarray, out_cnt: np.ndarray) -> int:
+    """Run-length filter of a sorted key range; returns emitted count."""
+    lib = _load()
+    assert lib is not None
+    return lib.rt_rle_filter(_u64p(hi), _u64p(lo), len(lo), min_count,
+                             max_count, _u64p(out_hi), _u64p(out_lo),
+                             out_cnt.ctypes.data_as(_I64P))

@@ -176,18 +176,48 @@ def run_distributed_correct(opt, coordinator=None, num_processes=None,
         shorts, ids, names = load_shorts()
         hap = pipeline.load_hap(opt, ids, names)
 
+    # distributed construction shards counting by key range and coloring by
+    # read shard over ALL hosts (parallel/build_dist.py); the auto-subsample
+    # and disk-spill color modes keep the single-host builder on host 0
+    dist_build = not (opt.auto_subsample or opt.spill_bytes)
+    workdir = os.path.dirname(os.path.abspath(prefix)) or "."
+    cdbg2_pre = None
+
     if not opt.pass2_only:
-        # ---- pass-1 index: built once, loaded elsewhere ----
+        # ---- pass-1 index: every host participates in construction ----
         idx1 = opt.filename_graph_in or GIO.index_path(prefix, opt.small_k)
-        if not opt.filename_graph_in and pid == 0:
+        if not opt.filename_graph_in and dist_build:
+            from ratatosk_tpu.graph.rescue_edges import rescue_pass1_edges
+            from ratatosk_tpu.parallel import build_dist as BD
             if shorts is None:
                 shorts, ids, names = load_shorts()
-            cdbg, colors = pipeline.build_pass1_index(opt, shorts, ids)
-            pipeline.rescue_edges_pass1(opt, cdbg, colors, shorts)
-            GIO.save_index(idx1, cdbg, colors)
-        barrier()
-        if opt.filename_graph_in or pid != 0:
-            cdbg, colors = GIO.load_index(idx1)
+            cdbg = BD.build_cdbg_dist(shorts, opt.small_k, pid, n, workdir,
+                                      min_count=opt.min_count_kmer,
+                                      barrier=barrier, tag="k1")
+            colors = BD.color_graph_dist(
+                cdbg, shorts, pid, n, workdir, read_ids=ids,
+                cap=opt.max_cov_vertices, min_cov_edge=opt.min_cov_vertices,
+                sampling_rate=opt.sampling_rate, barrier=barrier, tag="c1")
+            # pass-1 edge rescue needs the k2 graph — distributed count too,
+            # and pass 2 reuses it (pipeline.rescue_edges_pass1 contract)
+            cdbg2_pre = BD.build_cdbg_dist(shorts, opt.k, pid, n, workdir,
+                                           min_count=opt.min_count_kmer,
+                                           barrier=barrier, tag="k2")
+            rescue_pass1_edges(cdbg, colors, cdbg2_pre,
+                               min_cov=opt.min_cov_vertices)
+            if pid == 0:
+                GIO.save_index(idx1, cdbg, colors)
+            barrier()
+        else:
+            if not opt.filename_graph_in and pid == 0:
+                if shorts is None:
+                    shorts, ids, names = load_shorts()
+                cdbg, colors = pipeline.build_pass1_index(opt, shorts, ids)
+                pipeline.rescue_edges_pass1(opt, cdbg, colors, shorts)
+                GIO.save_index(idx1, cdbg, colors)
+            barrier()
+            if opt.filename_graph_in or pid != 0:
+                cdbg, colors = GIO.load_index(idx1)
         o1 = pipeline._pass_opt(opt, 1)
         # each host also fans out over its own local devices (mesh of local
         # chips — the reference's per-node 32-way pool inside each SLURM job)
@@ -225,16 +255,49 @@ def run_distributed_correct(opt, coordinator=None, num_processes=None,
     use_prebuilt2 = bool(opt.pass2_only and opt.filename_graph_in)
     idx2 = opt.filename_graph_in if use_prebuilt2 \
         else GIO.index_path(prefix, opt.k)
-    if not use_prebuilt2 and pid == 0:
+    if not use_prebuilt2 and dist_build:
+        from ratatosk_tpu.parallel import build_dist as BD
         if shorts is None:
             shorts, ids, names = load_shorts()
-        corrected = ((rec.codes, rec.qual) for rec in fastx.read_many(
-            pipeline._expand_file_lists(pass2_in)))
-        cdbg2, colors2 = pipeline.build_pass2_index(opt, corrected, shorts, ids)
-        GIO.save_index(idx2, cdbg2, colors2)
-    barrier()
-    if use_prebuilt2 or pid != 0:
-        cdbg2, colors2 = GIO.load_index(idx2)
+        if cdbg2_pre is not None:
+            cdbg2 = cdbg2_pre
+        else:
+            cdbg2 = BD.build_cdbg_dist(shorts, opt.k, pid, n, workdir,
+                                       min_count=opt.min_count_kmer,
+                                       barrier=barrier, tag="k2")
+        # color reads exactly as build_pass2_index: pass-1 corrected reads
+        # >= min_len_2nd_pass (low-confidence bases masked), then helper LRs
+        color_reads = []
+        min_q = 33 + int(opt.min_confidence_2nd_pass * opt.max_qual)
+        for rec in fastx.read_many(pipeline._expand_file_lists(pass2_in)):
+            if len(rec.codes) < opt.min_len_2nd_pass:
+                continue
+            masked = rec.codes.copy()
+            if rec.qual is not None and opt.min_confidence_2nd_pass > 0:
+                masked[rec.qual < min_q] = 4
+            color_reads.append(masked)
+        for p in pipeline._expand_file_lists(opt.filename_helper_long_in):
+            for rec in fastx.read_fastx(p):
+                color_reads.append(rec.codes)
+        colors2 = BD.color_graph_dist(
+            cdbg2, color_reads, pid, n, workdir,
+            cap=opt.max_cov_vertices, min_cov_edge=opt.min_cov_vertices,
+            barrier=barrier, tag="c2")
+        if pid == 0:
+            GIO.save_index(idx2, cdbg2, colors2)
+        barrier()
+    else:
+        if not use_prebuilt2 and pid == 0:
+            if shorts is None:
+                shorts, ids, names = load_shorts()
+            corrected = ((rec.codes, rec.qual) for rec in fastx.read_many(
+                pipeline._expand_file_lists(pass2_in)))
+            cdbg2, colors2 = pipeline.build_pass2_index(opt, corrected,
+                                                        shorts, ids)
+            GIO.save_index(idx2, cdbg2, colors2)
+        barrier()
+        if use_prebuilt2 or pid != 0:
+            cdbg2, colors2 = GIO.load_index(idx2)
     o2 = pipeline._pass_opt(opt, 2)
     corr2 = Corrector(cdbg2, colors2, o2, hap=hap,
                       snps=pipeline._detect_snps(opt, cdbg2, colors2),

@@ -147,3 +147,30 @@ def test_revcomp_read_same_graph():
     b = B.build_cdbg([g_rc], k, min_count=1)
     assert a.total_kmers() == b.total_kmers()
     np.testing.assert_array_equal(np.asarray(a.index.keys_lo), np.asarray(b.index.keys_lo))
+
+
+def test_count_kmers_bucketed_matches_sorted():
+    """Bucketed native counting (C radix + RLE) is bit-identical to the
+    sort-everything path, both key widths."""
+    import pytest
+    from ratatosk_tpu.graph import build as B
+    from ratatosk_tpu.ops import native_kmers as NK
+    if not NK.available():
+        pytest.skip("native kernels unavailable")
+    rng = np.random.default_rng(7)
+    reads = [rng.integers(0, 4, size=rng.integers(40, 300)).astype(np.uint8)
+             for _ in range(300)]
+    # sprinkle invalid bases so separator/validity paths are exercised
+    for r in reads[::7]:
+        r[rng.integers(0, len(r))] = 4
+    for k in (31, 63):
+        ref, ref_cnt = B.count_kmers(iter(reads), k, min_count=2)
+        got, got_cnt = B.count_kmers_bucketed(reads, k, min_count=2)
+        assert np.array_equal(ref.lo, got.lo)
+        if k > 32:
+            assert np.array_equal(ref.hi, got.hi)
+        assert np.array_equal(ref_cnt, got_cnt)
+        # max_count filter parity too
+        ref2, _ = B.count_kmers(iter(reads), k, min_count=1, max_count=3)
+        got2, _ = B.count_kmers_bucketed(reads, k, min_count=1, max_count=3)
+        assert np.array_equal(ref2.lo, got2.lo)
