@@ -186,6 +186,32 @@ void rt_lookup(const uint8_t* codes, int64_t L, int32_t k,
     for (auto& t : ts) t.join();
 }
 
+// Batch find of already-canonical packed keys against the HASH-ORDERED key
+// table (find_key_hash layout). out_row[i] = value-order row or -1.
+void rt_find_keys(const uint64_t* q_hi, const uint64_t* q_lo, int64_t nq,
+                  const uint64_t* hk_hi, const uint64_t* hk_lo,
+                  const int64_t* hrows, const int32_t* dir0, int32_t bits,
+                  int64_t* out_row, int32_t n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    bool two = hk_hi != nullptr;
+    auto work = [&](int64_t a, int64_t b) {
+        for (int64_t i = a; i < b; ++i) {
+            u128 q = two ? (((u128)q_hi[i] << 64) | q_lo[i]) : (u128)q_lo[i];
+            out_row[i] = find_key_hash(two ? hk_hi : nullptr, hk_lo, hrows,
+                                       dir0, bits, two, q);
+        }
+    };
+    if (n_threads == 1 || nq < 4096) { work(0, nq); return; }
+    std::vector<std::thread> ts;
+    int64_t step = (nq + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        int64_t a = t * step, b = std::min<int64_t>(nq, a + step);
+        if (a >= b) break;
+        ts.emplace_back(work, a, b);
+    }
+    for (auto& t : ts) t.join();
+}
+
 // Exact lookup of every k-window against the HASH-ORDERED key table
 // (find_key_hash layout). out_row[p] = value-order row or -1.
 void rt_lookup_hash(const uint8_t* codes, int64_t L, int32_t k,

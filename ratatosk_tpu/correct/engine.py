@@ -754,11 +754,24 @@ class Corrector:
                                 stride=self.opt.weak_seed_stride,
                                 near_exact_skip=_NEAR_EXACT_SKIP)
 
+        def host_tables(_):
+            # host planner tables are built lazily on first use — at
+            # chromosome scale that is tens of seconds inside the first
+            # timed batch; build them here instead
+            from ratatosk_tpu.correct.seeds import (_half_filter,
+                                                    _probe_prefilter)
+            from ratatosk_tpu.ops import native_kmers as NK
+            _probe_prefilter(self.cdbg.index)
+            _half_filter(self.cdbg.index)
+            if NK.available():
+                NK.hash_dir(self.cdbg.index)
+
         # beam width doubles per retry round (Ratatosk.cpp:847-865 analog);
         # mirrored launches reuse the forward shapes (same statics)
         rounds = max(self.opt.nb_correction_rounds, 1)
         beams = [self.opt.beam_width * (1 << r) for r in range(rounds)]
         jobs = [(one, (nt, beam)) for nt in BUCKETS for beam in beams]
+        jobs.append((host_tables, None))
         if self.devplan is not None:
             jobs.append((plan_warm, None))
         with ThreadPoolExecutor(max_workers=len(jobs)) as ex:

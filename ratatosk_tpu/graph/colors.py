@@ -170,27 +170,56 @@ class PairStore:
 
     def __init__(self, spill_bytes: int = 1 << 31,
                  spill_dir: Optional[str] = None):
-        self.mem = np.zeros(0, dtype=np.int64)
+        self._mem = np.zeros(0, dtype=np.int64)
         self.spill_bytes = spill_bytes
         self.spill_dir = spill_dir
         self.files: list = []
         self.max_live_bytes = 0
+        self._pending: list = []
+        self._pending_bytes = 0
 
     def add(self, pairs: np.ndarray) -> None:
-        """Merge a sorted-unique chunk."""
-        self.mem = _merge_unique(self.mem, pairs)
-        self.max_live_bytes = max(self.max_live_bytes, int(self.mem.nbytes))
-        if self.mem.nbytes >= self.spill_bytes:
-            self._spill()
+        """Queue a sorted-unique chunk (consolidated lazily: a per-chunk
+        merge into the full accumulator is quadratic at chromosome scale —
+        chunks are instead concatenated and deduped in one sort when read
+        or when the spill threshold trips)."""
+        if pairs.size == 0:
+            return
+        self._pending.append(pairs)
+        self._pending_bytes += int(pairs.nbytes)
+        if self._mem.nbytes + self._pending_bytes >= self.spill_bytes:
+            self._consolidate()
+            if self._mem.nbytes >= self.spill_bytes:
+                self._spill()
+
+    def _consolidate(self) -> None:
+        if not self._pending:
+            return
+        arrays = ([self._mem] if self._mem.size else []) + self._pending
+        out = np.concatenate(arrays)
+        self._pending.clear()
+        self._pending_bytes = 0
+        out.sort(kind="stable")
+        keep = np.empty(out.size, bool)
+        keep[0] = True
+        np.not_equal(out[1:], out[:-1], out=keep[1:])
+        self._mem = out[keep]
+        self.max_live_bytes = max(self.max_live_bytes, int(out.nbytes))
+
+    @property
+    def mem(self) -> np.ndarray:
+        self._consolidate()
+        return self._mem
 
     def _spill(self) -> None:
         import tempfile
+        self._consolidate()
         f = tempfile.NamedTemporaryFile(dir=self.spill_dir,
                                         suffix=".pairs.npy", delete=False)
-        np.save(f, self.mem)
+        np.save(f, self._mem)
         f.close()
         self.files.append(f.name)
-        self.mem = np.zeros(0, dtype=np.int64)
+        self._mem = np.zeros(0, dtype=np.int64)
 
     def merged_blocks(self, block: int = 1 << 21):
         """Yield sorted-unique pair blocks covering WHOLE unitigs when

@@ -77,6 +77,11 @@ def _load():
             _U8P, ctypes.c_int64, ctypes.c_int32,
             _U64P, _U64P, _I64P, _I32P, ctypes.c_int32,
             _I64P, _U8P, ctypes.c_int32]
+        lib.rt_find_keys.restype = None
+        lib.rt_find_keys.argtypes = [
+            _U64P, _U64P, ctypes.c_int64,
+            _U64P, _U64P, _I64P, _I32P, ctypes.c_int32,
+            _I64P, ctypes.c_int32]
         lib.rt_seed_probe.restype = ctypes.c_int64
         lib.rt_seed_probe.argtypes = [
             _U8P, ctypes.c_int64, ctypes.c_int32,
@@ -314,3 +319,46 @@ def rle_filter(hi: Optional[np.ndarray], lo: np.ndarray, min_count: int,
     return lib.rt_rle_filter(_u64p(hi), _u64p(lo), len(lo), min_count,
                              max_count, _u64p(out_hi), _u64p(out_lo),
                              out_cnt.ctypes.data_as(_I64P))
+
+
+def hash_dir_for_keys(lo: np.ndarray, hi: Optional[np.ndarray]):
+    """Build a (non-cached) hash directory over bare sorted canonical key
+    arrays — hash_dir() for callers without an index object (e.g. unitig
+    compaction's successor lookups over the solid set)."""
+    import ratatosk_tpu.ops.kmers as K
+    n = len(lo)
+    if n >= (1 << 31) - 1:
+        return None
+    lo = np.ascontiguousarray(lo, np.uint64)
+    hi = np.ascontiguousarray(hi, np.uint64) if hi is not None else None
+    bits = min(28, max(16, int(np.ceil(np.log2(max(2 * n, 2))))))
+    h = K.hash_kmer2(hi, lo, np) if hi is not None else K.hash_kmer(lo, np)
+    buck = (h >> np.uint64(64 - bits)).astype(np.int64)
+    order = np.argsort(buck, kind="stable")
+    dir0 = np.zeros((1 << bits) + 1, np.int32)
+    dir0[1:] = np.cumsum(np.bincount(buck, minlength=1 << bits)
+                         ).astype(np.int32)
+    return (np.ascontiguousarray(lo[order]),
+            np.ascontiguousarray(hi[order]) if hi is not None else None,
+            np.ascontiguousarray(order.astype(np.int64)),
+            np.ascontiguousarray(dir0), bits)
+
+
+def find_keys(q_lo: np.ndarray, q_hi: Optional[np.ndarray], hd
+              ) -> np.ndarray:
+    """Value-order rows of already-canonical packed keys via a hash
+    directory (hash_dir / hash_dir_for_keys tuple); -1 at misses."""
+    lib = _load()
+    assert lib is not None
+    hk_lo, hk_hi, hrows, dir0, bits = hd
+    q_lo = np.ascontiguousarray(q_lo, np.uint64)
+    q_hi = (np.ascontiguousarray(q_hi, np.uint64)
+            if q_hi is not None else None)
+    rows = np.full(len(q_lo), -1, dtype=np.int64)
+    if len(q_lo) and len(hk_lo):
+        lib.rt_find_keys(_u64p(q_hi), _u64p(q_lo), len(q_lo),
+                         _u64p(hk_hi), _u64p(hk_lo),
+                         hrows.ctypes.data_as(_I64P),
+                         dir0.ctypes.data_as(_I32P), bits,
+                         rows.ctypes.data_as(_I64P), _n_threads())
+    return rows
