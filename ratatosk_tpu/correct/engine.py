@@ -524,9 +524,11 @@ class Corrector:
         below `min_confidence_snp_corr`, the site surfaces as an IUPAC code
         instead of silently picking one allele.
         """
-        if (self.snps is None or sp.seq is None
+        if (self.snps is None or self.snps.n_sites == 0 or sp.seq is None
                 or len(sp.seq) < self.cdbg.k
                 or s1 >= self.opt.min_confidence_snp_corr):
+            # n_sites == 0 skips the per-region find_runs re-anchor entirely
+            # (the common case on haploid data; r4 weak #4 host-finish cost)
             return None
         k = self.cdbg.k
         seq = sp.seq

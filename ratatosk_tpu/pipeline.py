@@ -280,10 +280,15 @@ def correct_file(corrector: Corrector, opt: CorrectOpt, in_paths: List[str],
             n_reads += 1
             nb += len(cr.codes)
         n_bases += nb
+        extra = {}
+        if corrector.devplan is not None:
+            # devplan capacity-overflow fallbacks (VERDICT r4 housekeeping):
+            # nonzero means batches re-ran on the host planner
+            extra["devplan_fallbacks"] = corrector.devplan.n_fallback
         tracer.event("batch", pass_no=pass_no, reads=len(names), bases=nb,
                      plan_s=round(corrector.timers["plan"], 3),
                      launch_s=round(corrector.timers["launch"], 3),
-                     finish_s=round(corrector.timers["finish"], 3))
+                     finish_s=round(corrector.timers["finish"], 3), **extra)
 
     def plan(batch):
         reads, quals_b, names = batch
