@@ -83,6 +83,29 @@ def merge_parts(prefix: str, num_processes: int, final_path: str,
                 os.remove(p + ".done")
 
 
+def allgather_bytes(buf: bytes, max_total: int = 1 << 31):
+    """All-gather one byte payload per host over the device collective
+    (process order). Returns the list of payloads, or None when the gathered
+    total would exceed max_total (callers fall back to the shared
+    filesystem). This is the TPU-native transport for the pass-1 -> pass-2
+    corrected-read hand-off (SURVEY.md §5: the reference ships `.2.fastq`
+    through the filesystem, Ratatosk.cpp:1189-1194)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    n = jax.process_count()
+    lens = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray([len(buf)], jnp.int64))).ravel()
+    if int(lens.max()) * n > max_total:
+        return None
+    L = max(int(lens.max()), 1)
+    arr = np.zeros(L, np.uint8)
+    arr[:len(buf)] = np.frombuffer(buf, np.uint8)
+    g = np.asarray(multihost_utils.process_allgather(jnp.asarray(arr)))
+    return [g[i, :lens[i]].tobytes() for i in range(n)]
+
+
 def allreduce_stats(stats: dict) -> dict:
     """Sum integer stats across hosts (device collective over the global
     mesh via process_allgather; doubles as the end-of-shard barrier)."""
@@ -239,6 +262,16 @@ def run_distributed_correct(opt, coordinator=None, num_processes=None,
             part1)
         os.remove(shard1)
         del corr, cdbg, colors
+        # pass-1 -> pass-2 hand-off rides a device collective instead of the
+        # reference's shared-filesystem `.2.fastq` round trip (SURVEY §5):
+        # every host all-gathers the corrected shards and continues from its
+        # own copy; the global `.2.fastq` artifact is still written by host 0
+        # for the file contract. Oversized payloads fall back to the
+        # filesystem path (allgather_bytes -> None).
+        gathered = None
+        if not opt.pass1_only:
+            with open(part1, "rb") as f:
+                gathered = allgather_bytes(f.read())
         barrier()
         pass1_global = final_out if opt.pass1_only else f"{prefix}.2.fastq"
         if pid == 0:
@@ -247,8 +280,18 @@ def run_distributed_correct(opt, coordinator=None, num_processes=None,
         barrier()
         if opt.pass1_only:
             return
-        pass2_in = [pass1_global]
+        if gathered is not None:
+            p1_local = f"{prefix}.p1local{pid}.fastq"
+            with open(p1_local, "wb") as f:
+                for part in gathered:
+                    f.write(part)
+            del gathered
+            pass2_in = [p1_local]
+        else:
+            p1_local = None
+            pass2_in = [pass1_global]
     else:
+        p1_local = None
         pass2_in = list(opt.filename_long_in)
 
     # ---- pass-2 index from the GLOBAL pass-1 output ----
@@ -319,6 +362,8 @@ def run_distributed_correct(opt, coordinator=None, num_processes=None,
                                       raw_reads=raw_reads),
         part2)
     os.remove(shard2)
+    if p1_local is not None:
+        os.remove(p1_local)
     barrier()
     if pid == 0:
         merge_parts(prefix, n, final_out)
