@@ -788,10 +788,20 @@ class Corrector:
         # Ratatosk.cpp:847-865) before falling back to the partial consensus.
         rounds = max(self.opt.nb_correction_rounds, 1)
         pending = [(i, False, 1) for i in range(len(regions))]
+
+        def tgt_len(i: int, mirrored: bool) -> int:
+            # mirrored retries pack mirror_tgt, which can be up to 2 bp
+            # LONGER than tgt when the anchors are weak seeds with rspan
+            # k±1 — bucket by the length actually packed
+            sp = regions[i]
+            if mirrored and sp.mirror_tgt is not None:
+                return len(sp.mirror_tgt)
+            return len(sp.tgt)
+
         while pending:
             by_bucket: dict = {}
             for i, mirrored, rnd in pending:
-                ln = len(regions[i].tgt)
+                ln = tgt_len(i, mirrored)
                 nt = next((b for b in BUCKETS if ln <= b), None)
                 if nt is None:
                     continue
@@ -804,7 +814,7 @@ class Corrector:
                 # sort by target length: the while_loop exits when every entry
                 # is frozen, so homogeneous chunks stop at ~1.25x their own
                 # longest region instead of the bucket's worst case
-                items.sort(key=lambda i: len(regions[i].tgt))
+                items.sort(key=lambda i: tgt_len(i, mirrored))
                 for c0 in range(0, len(items), chunk):
                     idxs = items[c0:c0 + chunk]
                     fin, lmax = self._launch_bucket(

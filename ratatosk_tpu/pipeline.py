@@ -136,6 +136,27 @@ def load_hap(opt: CorrectOpt, read_ids, read_names):
     return hap
 
 
+def load_graph_input(opt: CorrectOpt, path: str, k: int,
+                     short_reads=None, read_ids=None):
+    """Load a -g graph argument: our `.npz` bundle, or a reference-written
+    unitig `.fasta.gz` (graph/interop.py). A FASTA carries no colors — they
+    are rebuilt from the short reads, reference ref-input semantics."""
+    from ratatosk_tpu.graph import interop as IT
+    kind = IT.sniff_graph_file(path)
+    if kind != "fasta":
+        return GIO.load_index(path)
+    _log(opt, f"importing reference unitig FASTA graph {path} (k={k})")
+    cdbg = IT.import_unitigs_fasta(path, k)
+    if short_reads is None:
+        short_reads, read_ids, _ = load_short_reads(opt)
+    colors = color_graph(cdbg, short_reads, read_ids=read_ids,
+                         cap=opt.max_cov_vertices,
+                         min_cov_edge=opt.min_cov_vertices,
+                         sampling_rate=opt.sampling_rate,
+                         spill_bytes=opt.spill_bytes)
+    return cdbg, colors
+
+
 def build_pass1_index(opt: CorrectOpt,
                       short_reads: Optional[list] = None,
                       read_ids: Optional[list] = None):
@@ -351,7 +372,9 @@ def run_correct(opt: CorrectOpt) -> None:
     cdbg2_pre = None
     if not opt.pass2_only:
         if opt.filename_graph_in:
-            cdbg, colors = GIO.load_index(opt.filename_graph_in)
+            cdbg, colors = load_graph_input(opt, opt.filename_graph_in,
+                                            opt.small_k, short_reads,
+                                            read_ids)
             _log(opt, f"pass 1: loaded index {opt.filename_graph_in}")
         else:
             cdbg, colors = build_pass1_index(opt, short_reads, read_ids)
@@ -374,7 +397,8 @@ def run_correct(opt: CorrectOpt) -> None:
         for rec in fastx.read_many(_expand_file_lists(pass2_in))
     )
     if opt.filename_graph_in and opt.pass2_only:
-        cdbg2, colors2 = GIO.load_index(opt.filename_graph_in)
+        cdbg2, colors2 = load_graph_input(opt, opt.filename_graph_in, opt.k,
+                                          short_reads, read_ids)
     else:
         cdbg2, colors2 = build_pass2_index(opt, corrected, short_reads,
                                            read_ids, prebuilt_cdbg=cdbg2_pre)
@@ -396,12 +420,18 @@ def run_index(opt: CorrectOpt) -> None:
     prefix = opt.prefix_filename_out
     short_reads, read_ids, read_names = load_short_reads(opt)
     rescue_unmapped(opt, short_reads, read_ids, read_names)
+    from ratatosk_tpu.graph import interop as IT
     if opt.pass1_only or not opt.pass2_only:
         cdbg, colors = build_pass1_index(opt, short_reads, read_ids)
         rescue_edges_pass1(opt, cdbg, colors, short_reads)
         path = GIO.index_path(prefix, opt.small_k)
         GIO.save_index(path, cdbg, colors)
         _log(opt, f"wrote {path}")
+        # reference-format graph artifact alongside the .npz
+        # (Ratatosk.cpp:1067 naming; loadable by `Ratatosk correct -g`)
+        fp = IT.fasta_index_path(prefix, opt.small_k)
+        IT.export_unitigs_fasta(cdbg, fp)
+        _log(opt, f"wrote {fp}")
     if opt.pass2_only:
         corrected = (
             (rec.codes, rec.qual)
@@ -411,6 +441,9 @@ def run_index(opt: CorrectOpt) -> None:
         path = GIO.index_path(prefix, opt.k)
         GIO.save_index(path, cdbg2, colors2)
         _log(opt, f"wrote {path}")
+        fp = IT.fasta_index_path(prefix, opt.k)
+        IT.export_unitigs_fasta(cdbg2, fp)
+        _log(opt, f"wrote {fp}")
 
 
 def _detect_snps(opt: CorrectOpt, cdbg, colors):

@@ -73,3 +73,28 @@ def test_uncorrectable_read_passthrough():
     res = corr.correct_batch([other])
     np.testing.assert_array_equal(res[0].codes, other)
     assert res[0].n_solid == 0
+
+
+def test_mirrored_retry_bucket_overflow_regression():
+    """A gap whose mirror_tgt is LONGER than tgt (weak anchors, rspan k±1)
+    must bucket by the mirrored length on the backward retry — at a bucket
+    boundary (len(tgt)=256, len(mirror)=258) the old code packed a 258-base
+    target into the 256 bucket and crashed (found by the r5 chr-scale run)."""
+    import numpy as np
+    from ratatosk_tpu import testing
+    from ratatosk_tpu.correct.engine import RegionSpec
+
+    _, corr = testing.build_toy_corrector(seed=11, glen=4000, k=17)
+    rng = np.random.default_rng(0)
+    n = 256
+    sp = RegionSpec(
+        read_idx=0, kind="gap", raw_a=0, raw_b=n,
+        tgt=rng.integers(0, 4, n).astype(np.uint8),
+        start_tip=0, start_off=corr.cdbg.k,
+        end_tip=2, end_off=corr.cdbg.k,
+        colors_row=corr.colors.rows[0].copy(),
+        mirror=(3, corr.cdbg.k, 1, corr.cdbg.k),
+        mirror_tgt=rng.integers(0, 4, n + 2).astype(np.uint8))
+    # random target against a real graph: the forward walk fails, forcing
+    # the mirrored retry that must land in the 2048 bucket
+    corr._execute_regions([sp])
