@@ -16,6 +16,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 #include <algorithm>
 #include <limits>
@@ -202,6 +203,32 @@ int32_t aln_one(const uint8_t* a, int32_t la, const uint8_t* b, int32_t lb,
     if (b_start) *b_start = r.b_start;
     if (b_end) *b_end = r.b_end;
     return r.dist;
+}
+
+// Distance-only batch: pairs (a[aoff[i]:aoff[i+1]], b[boff[i]:boff[i+1]]),
+// threaded. One ctypes round trip instead of one per pair — the per-call
+// wrapper overhead dominated the planner's same-unitig splice scoring.
+void aln_dist_batch(const uint8_t* a, const int64_t* aoff,
+                    const uint8_t* b, const int64_t* boff, int64_t n,
+                    int32_t mode, int32_t* out_dist, int32_t n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    auto work = [&](int64_t s, int64_t e) {
+        for (int64_t i = s; i < e; ++i) {
+            out_dist[i] = aln_one(
+                a + aoff[i], (int32_t)(aoff[i + 1] - aoff[i]),
+                b + boff[i], (int32_t)(boff[i + 1] - boff[i]),
+                mode, nullptr, nullptr, nullptr, nullptr, nullptr, 0);
+        }
+    };
+    if (n_threads == 1 || n < 64) { work(0, n); return; }
+    std::vector<std::thread> ts;
+    int64_t step = (n + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        int64_t s = t * step, e = std::min<int64_t>(n, s + step);
+        if (s >= e) break;
+        ts.emplace_back(work, s, e);
+    }
+    for (auto& t : ts) t.join();
 }
 
 }  // extern "C"

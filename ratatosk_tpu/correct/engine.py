@@ -254,6 +254,7 @@ class Corrector:
             self.max_km_cov = float(self.opt.max_km_cov)
         self.km_cov = km_cov
         self._cycle_cache: dict = {}
+        self._splice_pending: list = []
         self.qv_max = self.opt.max_qual
         self._cur_hap = -1   # haplotype of the read being planned
         # wall-time breakdown (seconds), for bench/verbose reporting
@@ -642,22 +643,24 @@ class Corrector:
         f = self.opt.weak_region_len_factor
         if self._span_max_quality(raw_a, raw_b):
             return ("raw", raw_a, raw_b)
-        # same-unitig fast path (Correction.cpp:814-858)
+        # same-unitig fast path (Correction.cpp:814-858). The splice-vs-raw
+        # NW distance only feeds the quality char, so non-equal cases defer
+        # to ONE threaded native batch call per plan_batch (the per-call
+        # ctypes overhead dominated this site, r5 plan profile) — the seg is
+        # a mutable list whose qual slot is filled by _resolve_splices.
         if run.uid == nxt.uid and run.direction == nxt.direction:
             glen = nxt.o_s - run.o_e
             if glen > 0 and abs(glen - raw_len) <= max(f * raw_len, 0):
                 sp = self._oriented_slice(run.uid, run.direction,
                                           run.o_e + k, nxt.o_s + k)
                 tgt = codes[raw_a:raw_b]
-                if len(sp) == len(tgt) and (sp == tgt).all():
-                    dist = 0
-                else:
-                    dist = CG.aln_dist(dna.codes_to_masks(sp),
-                                       dna.codes_to_masks(tgt), CG.NW)
-                s1 = 1.0 - dist / max(len(tgt), 1)
-                qual = np.full(len(sp), self._qual_for(s1), dtype=np.uint8)
                 iu = self._splice_iupac(run, sp, tgt, k)
-                return ("splice", sp, qual, iu)
+                if len(sp) == len(tgt) and (sp == tgt).all():
+                    qual = np.full(len(sp), self._qual_for(1.0), np.uint8)
+                    return ("splice", sp, qual, iu)
+                seg = ["splice", sp, None, iu]
+                self._splice_pending.append((seg, tgt))
+                return seg
         if raw_len > self.opt.max_len_weak_region1 or raw_len <= 0:
             return ("raw", raw_a, raw_b)
         nk2 = int(self.nk[nxt.uid])
@@ -1108,14 +1111,31 @@ class Corrector:
                  if self.hap is not None and names is not None else -1)
                 for i in range(len(reads))]
         runs_list, wps_list = self._plan_seeds(reads_np, quals, haps)
+        self._splice_pending = []
         for i, r in enumerate(reads_np):
             self._cur_hap = haps[i]
             q = quals[i] if quals is not None else None
             plans.append(self._plan_read(i, r, regions, qual=q,
                                          runs=runs_list[i], wps=wps_list[i]))
         self._cur_hap = -1
+        self._resolve_splices()
         self.timers["plan"] += _time.time() - t0
         return reads_np, plans, regions
+
+    def _resolve_splices(self) -> None:
+        """Fill the deferred same-unitig splice qualities: all NW distances
+        of the batch in one threaded native call (_plan_gap fast path)."""
+        pending = self._splice_pending
+        self._splice_pending = []
+        if not pending:
+            return
+        from ratatosk_tpu.ops import native_align as NA
+        dists = NA.align_dist_batch(
+            [(dna.codes_to_masks(seg[1]), dna.codes_to_masks(tgt))
+             for seg, tgt in pending], CG.NW)
+        for (seg, tgt), d in zip(pending, dists.tolist()):
+            s1 = 1.0 - d / max(len(tgt), 1)
+            seg[2] = np.full(len(seg[1]), self._qual_for(s1), np.uint8)
 
     def assemble_batch(self, reads_np, quals, plans, regions
                        ) -> List[CorrectedRead]:

@@ -46,6 +46,12 @@ def _load():
             _U8P, ctypes.c_int32, _U8P, ctypes.c_int32, ctypes.c_int32,
             _I32P, _I32P, _U8P, _I32P, _I32P, ctypes.c_int32,
         ]
+        lib.aln_dist_batch.restype = None
+        lib.aln_dist_batch.argtypes = [
+            _U8P, ctypes.POINTER(ctypes.c_int64),
+            _U8P, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int32, _I32P, ctypes.c_int32,
+        ]
         _lib = lib
     except (subprocess.CalledProcessError, OSError):
         _lib_failed = True
@@ -101,3 +107,36 @@ def align(a_masks: np.ndarray, b_masks: np.ndarray, mode: int,
                 cigar.append((ch, 1))
     return (int(dist), int(bs.value), int(be.value),
             qc[:la] if want_qclass else None, cigar)
+
+
+def align_dist_batch(pairs, mode: int = 0):
+    """NW distances of many (a_masks, b_masks) pairs in ONE native call
+    (threaded; native/align.cpp aln_dist_batch). Falls back to per-pair
+    align() when the library is unavailable."""
+    n = len(pairs)
+    out = np.zeros(n, dtype=np.int32)
+    if n == 0:
+        return out
+    lib = _load()
+    if lib is None:
+        from ratatosk_tpu.ops import cigar as CG
+        for i, (a, b) in enumerate(pairs):
+            out[i] = CG.aln_dist(a, b, mode)
+        return out
+    aoff = np.zeros(n + 1, dtype=np.int64)
+    boff = np.zeros(n + 1, dtype=np.int64)
+    for i, (a, b) in enumerate(pairs):
+        aoff[i + 1] = aoff[i] + len(a)
+        boff[i + 1] = boff[i] + len(b)
+    acat = np.concatenate([_u8(a) for a, _ in pairs]) if n else \
+        np.zeros(0, np.uint8)
+    bcat = np.concatenate([_u8(b) for _, b in pairs]) if n else \
+        np.zeros(0, np.uint8)
+    nt = min(os.cpu_count() or 1, 16)
+    lib.aln_dist_batch(
+        acat.ctypes.data_as(_U8P),
+        aoff.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        bcat.ctypes.data_as(_U8P),
+        boff.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, mode, out.ctypes.data_as(_I32P), nt)
+    return out
