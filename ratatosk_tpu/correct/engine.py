@@ -701,13 +701,17 @@ class Corrector:
 
     def _launch_bucket(self, specs: List[RegionSpec], nt: int, mirrored: bool,
                        beam: Optional[int] = None):
-        # pad to ONE batch shape (batch_regions) per bucket: per-step device
-        # cost is nearly flat in R on this hardware, so padding small
-        # remainders is free while halving the compile count; padding rows
-        # are inert (tgt_len=1, max_plen=1) and freeze on the first step
+        # pad R to a power-of-two tier in [128, batch_regions]: per-step cost
+        # is NOT flat in R (R=512 costs 2-3x R=128 per launch on this chip,
+        # docs/round5_notes.md), so partial chunks — every batch's remainder
+        # and most mirrored-retry sets — pay for their own tier instead of
+        # the full chunk shape; the tier floor bounds the compile count and
+        # warmup covers every tier. Padding rows are inert (tgt_len=1,
+        # max_plen=1) and freeze on the first step.
         R = len(specs)
-        Rp = max(self.opt.batch_regions,
-                 1 << int(np.ceil(np.log2(max(R, 1)))))
+        Rp = 1 << int(np.ceil(np.log2(max(R, 1))))
+        Rp = min(Rp, self.opt.batch_regions)
+        Rp = max(Rp, min(128, self.opt.batch_regions))
         if self.mesh is not None:
             nd = self.mesh.devices.size
             Rp = ((Rp + nd - 1) // nd) * nd
@@ -742,7 +746,7 @@ class Corrector:
         import jax
 
         def one(args):
-            nt, beam = args
+            nt, beam, r_count = args
             ln = min(nt, 32)
             sp = RegionSpec(
                 read_idx=0, kind="tail",
@@ -751,7 +755,7 @@ class Corrector:
                 colors_row=self.colors.rows[0].copy(),
                 mirror=(0, self.cdbg.k, 0, self.cdbg.k),
                 mirror_tgt=np.zeros(ln, np.uint8))
-            fin, _ = self._launch_bucket([sp], nt, False, beam=beam)
+            fin, _ = self._launch_bucket([sp] * r_count, nt, False, beam=beam)
             jax.block_until_ready(fin)
 
         def plan_warm(_):
@@ -775,7 +779,14 @@ class Corrector:
         # mirrored launches reuse the forward shapes (same statics)
         rounds = max(self.opt.nb_correction_rounds, 1)
         beams = [self.opt.beam_width * (1 << r) for r in range(rounds)]
-        jobs = [(one, (nt, beam)) for nt in BUCKETS for beam in beams]
+        # every R tier the launch padding can produce (power-of-two in
+        # [min(128, batch_regions), batch_regions])
+        r_tiers, rt = [], min(128, self.opt.batch_regions)
+        while rt <= self.opt.batch_regions:
+            r_tiers.append(rt)
+            rt <<= 1
+        jobs = [(one, (nt, beam, r)) for nt in BUCKETS for beam in beams
+                for r in r_tiers]
         jobs.append((host_tables, None))
         if self.devplan is not None:
             jobs.append((plan_warm, None))
