@@ -115,27 +115,33 @@ def choose_region_colors(runs, li: Optional[int], ri: Optional[int],
                   if ri is not None and ri + 1 < len(runs) else [])
     left_ids = uni(left_uids)
     right_ids = uni(right_uids)
-    both = left_ids & right_ids
-    one_side = (left_ids | right_ids) - both
     nb_ids = uni([u for u in left_uids + right_uids if not branching[u]])
-    one_nb = one_side & nb_ids
-    one_br = one_side - one_nb
 
     # weighted class: reads of non-branching unitigs (incl. non-branching
     # anchors); weight = 2 * max(n_unweighted / n_weighted, 1), saturated
     weighted_ids = nb_ids | uni([u for u in anchor_uids if not branching[u]])
 
-    taken: list = []
-    seen: set = set()
-    for ids in (in_region, both, one_nb, one_br):
-        for x in sorted(ids):
-            if x not in seen:
-                seen.add(x)
-                taken.append(x)
-                if len(taken) >= cap:
-                    break
-        if len(taken) >= cap:
-            break
+    all_ids = in_region | left_ids | right_ids
+    if len(all_ids) <= cap:
+        # every candidate fits: the priority classes only order the
+        # truncation, and the row is value-sorted anyway
+        taken = sorted(all_ids)
+    else:
+        both = left_ids & right_ids
+        one_side = (left_ids | right_ids) - both
+        one_nb = one_side & nb_ids
+        one_br = one_side - one_nb
+        taken = []
+        seen: set = set()
+        for ids in (in_region, both, one_nb, one_br):
+            for x in sorted(ids):
+                if x not in seen:
+                    seen.add(x)
+                    taken.append(x)
+                    if len(taken) >= cap:
+                        break
+            if len(taken) >= cap:
+                break
     n = len(taken)
     n_w = sum(1 for x in taken if x in weighted_ids)
     n_u = n - n_w
